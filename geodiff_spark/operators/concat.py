@@ -1,0 +1,204 @@
+"""concatChangesets — ordered fold of N changesets into one.
+
+The reference builds an in-memory hash of every entry keyed by (table,
+pk) and merges sequentially (changesetconcat.cpp:196-275). We instead
+fold pairwise: ``concat([a, b, c]) = merge(merge(a, b), c)`` where each
+``merge`` is ONE full-outer join on the row key plus metaprogrammed
+per-column CASE logic — distributed, spillable, no Python in the loop.
+
+The 9-case merge table (mergeEntriesForRow, changesetconcat.cpp:130-191):
+
+    e1 \\ e2 |  INSERT        UPDATE          DELETE
+    INSERT   |  drop both*    INSERT patched  drop (no-op row)
+    UPDATE   |  drop both*    merged UPDATE** DELETE (old backfilled)
+    DELETE   |  UPDATE**      drop both*      drop both*
+
+    *  "unsupported sequence" — the reference removes the existing entry
+       and does not insert the new one, so the row vanishes entirely
+       (changesetconcat.cpp:252-258).
+    ** via mergeUpdate (changesetconcat.cpp:78-117): per column
+       vOld = e1.old if defined else e2.old,
+       vNew = e2.new if defined else e1.new; keep old where (pk or
+       vOld!=vNew), keep new where (not pk and vOld!=vNew); drop the
+       entry if no non-PK column actually changes.
+
+Row identity = PK values taken from `new` for inserts, `old` otherwise
+(HashChangesetEntryPkey, changesetconcat.cpp:21-35).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..changeset import (
+    OP_DELETE,
+    OP_INSERT,
+    OP_UPDATE,
+    ChangesetTable,
+    bit_defined,
+)
+
+
+def _with_keys(cs: ChangesetTable, prefix: str):
+    """Rename every column with a side prefix and add `_k_<pk>` key cols."""
+    info = cs.info
+    sel = [F.col(c).alias(f"{prefix}_{c}") for c in cs.df.columns]
+    for c in info.pk:
+        key = (
+            F.when(F.col("op") == OP_INSERT, F.col(f"new_{c}"))
+            .otherwise(F.col(f"old_{c}"))
+            .alias(f"_k{prefix}_{c}")
+        )
+        sel.append(key)
+    return cs.df.select(*sel)
+
+
+def _differs(v_def1: Column, v1: Column, v_def2: Column, v2: Column) -> Column:
+    """Tagged-Value inequality (changeset.h:54-69): definedness mismatch
+    counts as different; both-defined compares null-safely (TypeNull ==
+    TypeNull)."""
+    return (v_def1 != v_def2) | (v_def1 & v_def2 & ~v1.eqNullSafe(v2))
+
+
+def merge_pair(cs1: ChangesetTable, cs2: ChangesetTable) -> ChangesetTable:
+    """Merge two successive changesets of the same table (e1 earlier)."""
+    info = cs1.info
+    cols = list(info.columns)
+
+    left = _with_keys(cs1, "e1")
+    right = _with_keys(cs2, "e2")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"_ke1_{c}").eqNullSafe(F.col(f"_ke2_{c}")) for c in info.pk],
+    )
+    j = left.join(right, cond, "full_outer")
+
+    op1, op2 = F.col("e1_op"), F.col("e2_op")
+    both = op1.isNotNull() & op2.isNotNull()
+    only1 = op1.isNotNull() & op2.isNull()
+    only2 = op2.isNotNull() & op1.isNull()
+
+    is_iu = both & (op1 == OP_INSERT) & (op2 == OP_UPDATE)
+    is_uu = both & (op1 == OP_UPDATE) & (op2 == OP_UPDATE)
+    is_ud = both & (op1 == OP_UPDATE) & (op2 == OP_DELETE)
+    is_di = both & (op1 == OP_DELETE) & (op2 == OP_INSERT)
+    # all remaining combos (I+I, U+I, D+U, D+D, I+D) drop the row
+
+    # --- mergeUpdate value pipeline, used by U+U and D+I ---------------
+    # per column: vOld/vNew with definedness, plus per-column "differs".
+    v_old, v_new, v_old_def, v_new_def, differ = {}, {}, {}, {}, {}
+    for i, c in enumerate(cols):
+        d1o = op1.isNotNull() & bit_defined(F.col("e1_old_bits"), i)
+        d1n = op1.isNotNull() & bit_defined(F.col("e1_new_bits"), i)
+        d2o = op2.isNotNull() & bit_defined(F.col("e2_old_bits"), i)
+        d2n = op2.isNotNull() & bit_defined(F.col("e2_new_bits"), i)
+        vo = F.when(d1o, F.col(f"e1_old_{c}")).when(d2o, F.col(f"e2_old_{c}"))
+        vn = F.when(d2n, F.col(f"e2_new_{c}")).when(d1n, F.col(f"e1_new_{c}"))
+        vod = d1o | d2o
+        vnd = d1n | d2n
+        v_old[c], v_new[c], v_old_def[c], v_new_def[c] = vo, vn, vod, vnd
+        differ[c] = _differs(vod, vo, vnd, vn)
+
+    merged_required = (
+        reduce(lambda a, b: a | b, [differ[c] for c in info.non_pk])
+        if info.non_pk
+        else F.lit(False)
+    )
+
+    out_op = (
+        F.when(only1, op1)
+        .when(only2, op2)
+        .when(is_iu, F.lit(OP_INSERT))
+        .when(is_uu & merged_required, F.lit(OP_UPDATE))
+        .when(is_ud, F.lit(OP_DELETE))
+        .when(is_di & merged_required, F.lit(OP_UPDATE))
+    )
+
+    old_cols, new_cols = [], []
+    old_bits = F.lit(0).cast("long")
+    new_bits = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        pk = info.is_pk(c)
+        d1o = bit_defined(F.col("e1_old_bits"), i)
+        d1n = bit_defined(F.col("e1_new_bits"), i)
+        d2o = bit_defined(F.col("e2_old_bits"), i)
+        d2n = bit_defined(F.col("e2_new_bits"), i)
+
+        # merged-UPDATE shape (U+U and D+I share it)
+        mu_old_def = F.lit(pk) | differ[c]
+        mu_new_def = F.lit(not pk) & differ[c]
+
+        # I+U: INSERT patched — new = e2.new if defined else e1.new
+        iu_new = F.when(d2n, F.col(f"e2_new_{c}")).otherwise(F.col(f"e1_new_{c}"))
+
+        # U+D: DELETE — old = e1.old if defined else e2.old
+        ud_old = F.when(d1o, F.col(f"e1_old_{c}")).otherwise(F.col(f"e2_old_{c}"))
+
+        o = (
+            F.when(only1, F.col(f"e1_old_{c}"))
+            .when(only2, F.col(f"e2_old_{c}"))
+            .when(is_uu | is_di, F.when(mu_old_def, v_old[c]))
+            .when(is_ud, ud_old)
+        )
+        n = (
+            F.when(only1, F.col(f"e1_new_{c}"))
+            .when(only2, F.col(f"e2_new_{c}"))
+            .when(is_uu | is_di, F.when(mu_new_def, v_new[c]))
+            .when(is_iu, iu_new)
+        )
+        o_def = (
+            F.when(only1, d1o)
+            .when(only2, d2o)
+            .when(is_uu | is_di, mu_old_def)
+            .when(is_ud, F.lit(True))
+            .otherwise(F.lit(False))
+        )
+        n_def = (
+            F.when(only1, d1n)
+            .when(only2, d2n)
+            .when(is_uu | is_di, mu_new_def)
+            .when(is_iu, F.lit(True))
+            .otherwise(F.lit(False))
+        )
+        old_cols.append(o.alias(f"old_{c}"))
+        new_cols.append(n.alias(f"new_{c}"))
+        w = F.lit(1 << i).cast("long")
+        old_bits = old_bits + F.when(o_def, w).otherwise(F.lit(0).cast("long"))
+        new_bits = new_bits + F.when(n_def, w).otherwise(F.lit(0).cast("long"))
+
+    out = (
+        j.select(
+            out_op.alias("op"),
+            *old_cols,
+            *new_cols,
+            old_bits.alias("old_bits"),
+            new_bits.alias("new_bits"),
+        )
+        .filter(F.col("op").isNotNull())
+    )
+    return ChangesetTable(info=info, df=out)
+
+
+def concat_tables(tables: list[ChangesetTable]) -> ChangesetTable:
+    """Fold N changeset tables in order (earliest first)."""
+    if not tables:
+        raise ValueError("concat of zero changesets")
+    return reduce(merge_pair, tables)
+
+
+def concat_changesets(
+    changesets: list[dict[str, ChangesetTable]],
+) -> dict[str, ChangesetTable]:
+    """Multi-table concat: tables appearing in any input are folded over
+    the inputs that contain them, in input order."""
+    names: list[str] = []
+    for cs in changesets:
+        for n in cs:
+            if n not in names:
+                names.append(n)
+    return {
+        n: concat_tables([cs[n] for cs in changesets if n in cs]) for n in names
+    }
