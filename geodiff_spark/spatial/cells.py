@@ -1,0 +1,234 @@
+"""Hierarchical spatial cell index (H3/S2-style, built from scratch).
+
+Not a port of any library: a Morton (Z-order) quadtree over the WGS84
+lon/lat rectangle, chosen over hex grids because parent/child/k-ring
+are pure bit arithmetic — exactly what vectorizes in numpy and compiles
+to whole-stage-codegen'd JVM expressions.
+
+Cell id layout (64-bit signed, always positive):
+
+    bit 60        : mode flag (1 ⇒ valid cell; 0 ⇒ never a cell id)
+    bits 52..56   : resolution r ∈ [0, 26]
+    bits 0..51    : morton(x, y) — interleaved 26-bit grid coords
+                    (x even bits, y odd bits)
+
+Grid at resolution r: 2^r × 2^r over lon ∈ [-180, 180), lat ∈ [-90, 90);
+x = floor((lon+180)/360 · 2^r) clamped to [0, 2^r-1], y likewise from
+lat. Children of a cell at r are the 4 ids at r+1 sharing the morton
+prefix; parent = truncate. k-ring = Chebyshev-≤k neighborhood with
+longitude wraparound and latitude clamping.
+
+Z-order keeps spatially close cells numerically close, so sorting /
+range-partitioning by cell id co-locates neighborhoods — the property
+the diff/join layer relies on for per-cell co-partitioned joins
+(SURVEY.md §7 Phase 4; analogous role to geodiff's per-table grouping,
+changesetwriter.cpp:28-37).
+
+Three mutually-consistent implementations (tested to agree bit-exactly):
+  * numpy kernels (`*_np`)     — the pandas-UDF path (north-rule mandate)
+  * Column expressions (`*_expr`) — JVM whole-stage-codegen path
+  * DuckDB SQL text (`*_sql`)  — the oracle/verification path
+Float parity holds because all three use the same f64 operation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAX_RES = 26
+MODE_BIT = 1 << 60
+RES_SHIFT = 52
+
+_M1 = 0x5555555555555555
+_M2 = 0x3333333333333333
+_M4 = 0x0F0F0F0F0F0F0F0F
+_M8 = 0x00FF00FF00FF00FF
+_M16 = 0x0000FFFF0000FFFF
+
+
+# --------------------------------------------------------------------------
+# numpy kernels
+# --------------------------------------------------------------------------
+
+def _spread_np(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.int64)
+    v = (v | (v << 16)) & _M16
+    v = (v | (v << 8)) & _M8
+    v = (v | (v << 4)) & _M4
+    v = (v | (v << 2)) & _M2
+    v = (v | (v << 1)) & _M1
+    return v
+
+
+def _compact_np(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.int64) & _M1
+    v = (v | (v >> 1)) & _M2
+    v = (v | (v >> 2)) & _M4
+    v = (v | (v >> 4)) & _M8
+    v = (v | (v >> 8)) & _M16
+    v = (v | (v >> 16)) & 0x00000000FFFFFFFF
+    return v
+
+
+def xy_np(lat: np.ndarray, lon: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray]:
+    n = float(1 << res)
+    x = np.floor((lon + 180.0) / 360.0 * n)
+    y = np.floor((lat + 90.0) / 180.0 * n)
+    hi = (1 << res) - 1
+    x = np.clip(x, 0, hi).astype(np.int64)
+    y = np.clip(y, 0, hi).astype(np.int64)
+    return x, y
+
+
+def encode_np(lat: np.ndarray, lon: np.ndarray, res: int) -> np.ndarray:
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"resolution must be in [0, {MAX_RES}]")
+    x, y = xy_np(lat, lon, res)
+    return MODE_BIT | (np.int64(res) << RES_SHIFT) | _spread_np(x) | (_spread_np(y) << 1)
+
+
+MORTON_MASK = (1 << RES_SHIFT) - 1
+
+
+def decode_np(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """-> (res, x, y)"""
+    cell = cell.astype(np.int64)
+    res = (cell >> RES_SHIFT) & 0x1F
+    m = cell & MORTON_MASK  # strip mode + resolution bits
+    x = _compact_np(m)
+    y = _compact_np(m >> 1)
+    return res, x, y
+
+
+def parent_np(cell: np.ndarray, parent_res: int) -> np.ndarray:
+    res, x, y = decode_np(cell)
+    shift = res - parent_res
+    if np.any(shift < 0):
+        raise ValueError("parent_res coarser than cell resolution required")
+    return (
+        MODE_BIT
+        | (np.int64(parent_res) << RES_SHIFT)
+        | _spread_np(x >> shift)
+        | (_spread_np(y >> shift) << 1)
+    )
+
+
+def cell_center_np(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """-> (lat, lon) of cell centers."""
+    res, x, y = decode_np(cell)
+    n = (np.int64(1) << res).astype(np.float64)
+    lon = (x.astype(np.float64) + 0.5) / n * 360.0 - 180.0
+    lat = (y.astype(np.float64) + 0.5) / n * 180.0 - 90.0
+    return lat, lon
+
+
+def kring_np(cell: np.ndarray, k: int) -> np.ndarray:
+    """(n,) cells -> (n, (2k+1)^2) neighbor matrix. Longitude wraps,
+    latitude clamps (duplicate ids possible at the poles — callers
+    dedupe via array_distinct / set semantics)."""
+    res, x, y = decode_np(cell)
+    n_side = np.int64(1) << res
+    offs = np.arange(-k, k + 1, dtype=np.int64)
+    dx = np.repeat(offs, 2 * k + 1)
+    dy = np.tile(offs, 2 * k + 1)
+    nx = (x[:, None] + dx[None, :]) % n_side[:, None]  # wrap
+    ny = np.clip(y[:, None] + dy[None, :], 0, (n_side - 1)[:, None])  # clamp
+    return (
+        MODE_BIT
+        | (res[:, None] << RES_SHIFT)
+        | _spread_np(nx)
+        | (_spread_np(ny) << 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# pandas UDFs (Arrow-vectorized; the north-rule kernel surface)
+# --------------------------------------------------------------------------
+
+def cell_udf(lat: Column, lon: Column, res: int) -> Column:
+    @F.pandas_udf(T.LongType())
+    def _enc(la: pd.Series, lo: pd.Series) -> pd.Series:
+        return pd.Series(encode_np(la.to_numpy(np.float64), lo.to_numpy(np.float64), res))
+
+    return _enc(lat, lon)
+
+
+def parent_udf(cell: Column, parent_res: int) -> Column:
+    @F.pandas_udf(T.LongType())
+    def _par(c: pd.Series) -> pd.Series:
+        return pd.Series(parent_np(c.to_numpy(np.int64), parent_res))
+
+    return _par(cell)
+
+
+def kring_udf(cell: Column, k: int) -> Column:
+    """array<long> of the (2k+1)^2 k-ring (may contain duplicates at
+    lat clamp boundaries; wrap in array_distinct if set semantics
+    needed)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _kr(c: pd.Series) -> pd.Series:
+        m = kring_np(c.to_numpy(np.int64), k)
+        return pd.Series(list(m))
+
+    return _kr(cell)
+
+
+# --------------------------------------------------------------------------
+# JVM Column expressions (whole-stage codegen; bit-identical to numpy)
+# --------------------------------------------------------------------------
+
+def _spread_expr(v: Column) -> Column:
+    v = (v.bitwiseOR(F.shiftleft(v, 16))).bitwiseAND(F.lit(_M16))
+    v = (v.bitwiseOR(F.shiftleft(v, 8))).bitwiseAND(F.lit(_M8))
+    v = (v.bitwiseOR(F.shiftleft(v, 4))).bitwiseAND(F.lit(_M4))
+    v = (v.bitwiseOR(F.shiftleft(v, 2))).bitwiseAND(F.lit(_M2))
+    v = (v.bitwiseOR(F.shiftleft(v, 1))).bitwiseAND(F.lit(_M1))
+    return v
+
+
+def xy_expr(lat: Column, lon: Column, res: int) -> tuple[Column, Column]:
+    n = float(1 << res)
+    hi = F.lit((1 << res) - 1).cast("long")
+    lo = F.lit(0).cast("long")
+    x = F.least(F.greatest(F.floor((lon + 180.0) / 360.0 * n).cast("long"), lo), hi)
+    y = F.least(F.greatest(F.floor((lat + 90.0) / 180.0 * n).cast("long"), lo), hi)
+    return x, y
+
+
+def cell_expr(lat: Column, lon: Column, res: int) -> Column:
+    x, y = xy_expr(lat, lon, res)
+    return (
+        F.lit(MODE_BIT | (res << RES_SHIFT))
+        .bitwiseOR(_spread_expr(x))
+        .bitwiseOR(F.shiftleft(_spread_expr(y), 1))
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB SQL text (oracle parity)
+# --------------------------------------------------------------------------
+
+def _spread_sql(v: str) -> str:
+    s = v
+    for shift, mask in ((16, _M16), (8, _M8), (4, _M4), (2, _M2), (1, _M1)):
+        s = f"((({s}) | (({s}) << {shift})) & {mask})"
+    return s
+
+
+def xy_sql(lat: str, lon: str, res: int) -> tuple[str, str]:
+    n = float(1 << res)
+    hi = (1 << res) - 1
+    x = f"LEAST(GREATEST(CAST(FLOOR((({lon}) + 180.0) / 360.0 * {n}) AS BIGINT), 0), {hi})"
+    y = f"LEAST(GREATEST(CAST(FLOOR((({lat}) + 90.0) / 180.0 * {n}) AS BIGINT), 0), {hi})"
+    return x, y
+
+
+def cell_sql(lat: str, lon: str, res: int) -> str:
+    x, y = xy_sql(lat, lon, res)
+    head = MODE_BIT | (res << RES_SHIFT)
+    return f"({head} | {_spread_sql(x)} | ({_spread_sql(y)} << 1))"

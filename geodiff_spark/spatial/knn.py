@@ -1,0 +1,65 @@
+"""kNN via k-ring cell expansion + windowed local top-k.
+
+Plan shape (SURVEY.md §2.3 extension row):
+
+    queries --kring_udf--> explode(cells)      (|Q| × (2k+1)^2 rows)
+    points  --cell------->                      (encoded once)
+          equi-join on cell                     (broadcast Q side when
+                                                 small; SMJ at scale)
+          -> squared-degree distance            (pure arithmetic: bit-
+                                                 reproducible everywhere)
+          -> row_number() over (qid, dist, pk) <= k
+
+Distance is squared equirectangular degrees — deterministic tie order
+via (dist, point pk). The result is exact *within the searched ring*;
+``ring`` must be chosen so the true k neighbors fall inside it (callers
+can iterate with growing ring; the per-query found-count makes misses
+detectable). Skew note: a hot query cell duplicates only the QUERY side
+(small); the big point side never fans out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .cells import cell_expr, kring_udf
+
+
+def knn_join(
+    points: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    res: int,
+    ring: int = 1,
+    query_id_col: str = "qid",
+    point_id_col: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    q_lat_col: str = "qlat",
+    q_lon_col: str = "qlon",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """-> (qid, <point id>, dist_sq, rank) with rank ∈ [1, k]."""
+    q = queries.withColumn(
+        "_qcell", cell_expr(F.col(q_lat_col), F.col(q_lon_col), res)
+    ).withColumn("cell", F.explode(F.array_distinct(kring_udf(F.col("_qcell"), ring))))
+    if broadcast_queries:
+        q = F.broadcast(q)
+
+    p = points.withColumn("cell", cell_expr(F.col(lat_col), F.col(lon_col), res))
+
+    cand = p.join(q, "cell", "inner")
+    dlat = F.col(lat_col) - F.col(q_lat_col)
+    dlon = F.col(lon_col) - F.col(q_lon_col)
+    cand = cand.withColumn("dist_sq", dlat * dlat + dlon * dlon)
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist_sq").asc(), F.col(point_id_col).asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, point_id_col, "dist_sq", "rank")
+    )
