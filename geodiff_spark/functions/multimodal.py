@@ -1,0 +1,151 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary +
+typed metadata, processed in Arrow-batched mapInPandas.
+
+The container has no codec libraries, so the *decode* kernels are
+deterministic fakes clearly gated behind ``DECODERS`` (swap in
+PIL/librosa/av on a real cluster — the Spark-side plumbing — schemas,
+batch iteration, partition sizing — is identical either way and is what
+these operators test).
+
+Schema convention for a media table:
+    asset_id long, kind string ('image'|'audio'|'video'),
+    payload binary, meta struct<width int, height int, sample_rate int,
+    n_frames int>
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "asset_id long, kind string, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
+)
+
+FEATURE_SCHEMA = "asset_id long, kind string, feature array<float>, n_bytes long"
+THUMB_SCHEMA = "asset_id long, thumb binary, width int, height int"
+FRAME_SCHEMA = "asset_id long, frame_idx int, frame binary"
+
+
+def _fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in for a real image decoder: expands payload
+    bytes into a (h, w) luma plane by tiling. Replace with PIL decode on
+    a real cluster — NotImplementedError if payload claims a real codec."""
+    if payload[:2] in (b"\xff\xd8", b"\x89P"):  # real JPEG/PNG magic
+        raise NotImplementedError("real image codecs unavailable in this env")
+    raw = np.frombuffer(payload, dtype=np.uint8)
+    need = width * height
+    reps = int(np.ceil(need / max(len(raw), 1)))
+    return np.tile(raw, reps)[:need].reshape(height, width)
+
+
+def extract_features(media: DataFrame, *, feat_dim: int = 8) -> DataFrame:
+    """mapInPandas: binary payload -> small float feature vector
+    (mean/std/quantiles of the decoded plane). Batch-vectorized; the
+    per-asset decode is the unavoidable ragged step."""
+
+    def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats, nbytes = [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                w = int(meta["width"] or 16)
+                h = int(meta["height"] or 16)
+                plane = _fake_decode_image(bytes(payload), w, h).astype(np.float64)
+                qs = np.quantile(plane, np.linspace(0, 1, feat_dim - 2))
+                v = np.concatenate([[plane.mean(), plane.std()], qs])
+                feats.append(v.astype(np.float32))
+                nbytes.append(len(payload))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "feature": feats,
+                    "n_bytes": pd.Series(nbytes, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, *, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Thumbnail materialization: decode -> stride-subsample -> bytes."""
+
+    def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf[pdf["kind"] == "image"]
+            thumbs = []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                w = int(meta["width"] or 16)
+                h = int(meta["height"] or 16)
+                plane = _fake_decode_image(bytes(payload), w, h)
+                ys = np.linspace(0, h - 1, out_h).astype(int)
+                xs = np.linspace(0, w - 1, out_w).astype(int)
+                thumbs.append(plane[np.ix_(ys, xs)].tobytes())
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "thumb": thumbs,
+                    "width": np.full(len(pdf), out_w, dtype=np.int32),
+                    "height": np.full(len(pdf), out_h, dtype=np.int32),
+                }
+            )
+
+    return media.mapInPandas(op, schema=THUMB_SCHEMA)
+
+
+def sample_frames(media: DataFrame, *, every_n: int = 4) -> DataFrame:
+    """Video frame sampling: emit every Nth 'frame' (fixed-size payload
+    slices standing in for decoded frames)."""
+
+    def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf[pdf["kind"] == "video"]
+            rows = {"asset_id": [], "frame_idx": [], "frame": []}
+            for aid, payload, meta in zip(pdf["asset_id"], pdf["payload"], pdf["meta"]):
+                n = int(meta["n_frames"] or 0)
+                payload = bytes(payload)
+                fsize = max(len(payload) // max(n, 1), 1)
+                for fi in range(0, n, every_n):
+                    rows["asset_id"].append(aid)
+                    rows["frame_idx"].append(fi)
+                    rows["frame"].append(payload[fi * fsize : (fi + 1) * fsize])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(op, schema=FRAME_SCHEMA)
+
+
+def synth_media(spark, n: int, *, seed: int = 5) -> DataFrame:
+    """Deterministic synthetic media table for tests/benchmarks."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kinds = np.array(["image", "audio", "video"])
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            rng_bytes = [
+                (np.arange(64 + (i % 128), dtype=np.uint8) * ((i % 251) + 1) % 251).tobytes()
+                for i in ids
+            ]
+            k = kinds[ids % 3]
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "kind": k,
+                    "payload": rng_bytes,
+                    "meta": [
+                        {
+                            "width": 16 + int(i % 16),
+                            "height": 16,
+                            "sample_rate": 16000,
+                            "n_frames": 8 + int(i % 8),
+                        }
+                        for i in ids
+                    ],
+                }
+            )
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)

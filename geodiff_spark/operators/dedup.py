@@ -1,0 +1,358 @@
+"""Deduplication family for web-scale corpora (task-brief mandated):
+
+  exact            — hash groupBy, one shuffle, map-side partial agg
+  ngram-jaccard    — shingle explode + self equi-join on shingle +
+                     |∩|/|∪| filter (SQL-expressible; the oracle twin)
+  minhash + LSH    — numpy signatures, banded bucket join (the 100 TB
+                     path: candidates ∝ colliding bands, never O(n²))
+  simhash          — 64-bit weighted sign hash, chunk-banded candidates,
+                     hamming filter
+  embedding cosine — see operators.similarity (shares the kernel)
+
+Hash parity matters only inside one engine run (signatures join against
+themselves), so minhash/simhash use splitmix64 freely; the jaccard
+verifier is the cross-engine-checkable layer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.text import tokens_expr, tokens_sql
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, id_col: str, key_cols: list[str]) -> DataFrame:
+    """-> (id, canon_id, group_size) for every member of a duplicate
+    group (size > 1), canon = min id. One hash-shuffle on the key."""
+    w_keys = [F.col(c) for c in key_cols]
+    grouped = df.groupBy(*w_keys).agg(
+        F.min(id_col).alias("canon_id"),
+        F.count(F.lit(1)).alias("group_size"),
+        F.collect_list(F.col(id_col)).alias("_ids"),
+    )
+    return (
+        grouped.filter(F.col("group_size") > 1)
+        .select(F.explode("_ids").alias(id_col), "canon_id", "group_size")
+    )
+
+
+def dedup_exact_sql(table: str, id_col: str, key_cols: list[str]) -> str:
+    keys = ", ".join(key_cols)
+    return f"""
+    WITH g AS (
+      SELECT {keys}, MIN({id_col}) AS canon_id, COUNT(*) AS group_size
+      FROM {table} GROUP BY {keys} HAVING COUNT(*) > 1
+    )
+    SELECT t.{id_col} AS {id_col}, g.canon_id AS canon_id,
+           g.group_size AS group_size
+    FROM {table} t JOIN g USING ({keys})
+    """
+
+
+# --------------------------------------------------------------------------
+# word n-gram shingles
+# --------------------------------------------------------------------------
+
+def shingles_expr(text, n: int):
+    """Distinct word n-gram strings (space-joined)."""
+    toks = tokens_expr(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    gram = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return F.array_distinct(gram)
+
+
+def shingles_sql(text: str, n: int) -> str:
+    toks = tokens_sql(text)
+    return f"""list_distinct(list_transform(
+        range(1, GREATEST(len({toks}) - {n - 1}, 0) + 1),
+        i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))"""
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """-> (id_a, id_b, common, size_a, size_b) pairs with
+    jaccard = common / (size_a + size_b - common) >= threshold, id_a < id_b.
+
+    Plan: explode distinct shingles, self-join on shingle (the classic
+    similarity-join prefilter: only docs sharing >=1 shingle ever meet),
+    aggregate common counts, join doc sizes, filter. jaccard itself is
+    re-derivable from the integer outputs — keeping the comparison gate
+    integer-exact across engines."""
+    sh = df.select(
+        F.col(id_col), shingles_expr(F.col(text_col), n).alias("sh")
+    ).withColumn("sz", F.size("sh"))
+    sizes = sh.select(id_col, "sz")
+    ex = sh.select(id_col, F.explode("sh").alias("shingle"))
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("size_b"))
+    out = pairs.join(sa, "id_a").join(sb, "id_b")
+    jac = F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common"))
+    return out.filter(jac >= threshold).select(
+        "id_a", "id_b", "common", "size_a", "size_b"
+    )
+
+
+def ngram_jaccard_sql(
+    table: str, id_col: str, text_col: str, *, n: int = 3, threshold: float = 0.5
+) -> str:
+    sh = shingles_sql(text_col, n)
+    return f"""
+    WITH s AS (
+      SELECT {id_col} AS id, {sh} AS sh FROM {table}
+    ), sz AS (
+      SELECT id, len(sh) AS sz FROM s
+    ), ex AS (
+      SELECT id, UNNEST(sh) AS shingle FROM s
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT p.id_a AS id_a, p.id_b AS id_b, p.common AS common,
+           sa.sz AS size_a, sb.sz AS size_b
+    FROM pairs p
+    JOIN sz sa ON sa.id = p.id_a
+    JOIN sz sb ON sb.id = p.id_b
+    WHERE CAST(p.common AS DOUBLE)
+          / CAST(sa.sz + sb.sz - p.common AS DOUBLE) >= {threshold}
+    """
+
+
+# --------------------------------------------------------------------------
+# minhash + LSH
+# --------------------------------------------------------------------------
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = x
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _shingle_hashes(texts: pd.Series, n: int) -> list[np.ndarray]:
+    """Per doc: uint64 hashes of its distinct word n-gram shingles."""
+    out = []
+    for t in texts:
+        toks = [w for w in (t or "").lower().split() if w]
+        if len(toks) < n:
+            grams: set[str] = set(toks)
+        else:
+            grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        if not grams:
+            out.append(np.empty(0, dtype=np.uint64))
+            continue
+        hs = np.fromiter(
+            (hash_str_u64(g) for g in grams), dtype=np.uint64, count=len(grams)
+        )
+        out.append(hs)
+    return out
+
+
+def hash_str_u64(s: str) -> np.uint64:
+    """FNV-1a 64 over UTF-8 — deterministic across processes (unlike
+    Python's seeded hash())."""
+    h = np.uint64(0xCBF29CE484222325)
+    with np.errstate(over="ignore"):
+        for b in s.encode("utf-8"):
+            h = (h ^ np.uint64(b)) * np.uint64(0x100000001B3)
+    return h
+
+
+def minhash_signature_udf(num_perm: int, n: int):
+    """pandas UDF: text -> array<long> minhash signature. One splitmix64
+    stream per permutation (seeded by index) — vectorized min over the
+    (shingles × perms) matrix per Arrow batch."""
+    seeds = _splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64) * np.uint64(0x9E37))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(texts: pd.Series) -> pd.Series:
+        res = []
+        with np.errstate(over="ignore"):
+            for hs in _shingle_hashes(texts, n):
+                if hs.size == 0:
+                    res.append(np.full(num_perm, np.iinfo(np.int64).max, dtype=np.int64))
+                    continue
+                m = _splitmix64(hs[:, None] ^ seeds[None, :])
+                res.append((m.min(axis=0) >> np.uint64(1)).astype(np.int64))
+        return pd.Series(res)
+
+    return _sig
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    verify: bool = True,
+) -> DataFrame:
+    """-> candidate (id_a, id_b, est_jaccard) pairs whose signatures
+    collide in >=1 LSH band; ``verify`` filters on the signature-
+    estimated jaccard >= threshold.
+
+    Scale shape: docs never self-join; only (band_idx, band_hash)
+    buckets meet — the shuffle key is the bucket, and hot buckets are
+    bounded by band width. est_jaccard = matching permutations /
+    num_perm (unbiased minhash estimator)."""
+    if num_perm % bands:
+        raise ValueError("bands must divide num_perm")
+    rows_per_band = num_perm // bands
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature_udf(num_perm, shingle_n)(F.col(text_col)).alias("sig"),
+    )
+    banded = sig.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias(
+                        "bucket"
+                    ),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "sig", "bb.band", "bb.bucket")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda v: v,
+            )
+        ).cast("double")
+        / F.lit(float(num_perm))
+    )
+    out = cand.withColumn("est_jaccard", est).select("id_a", "id_b", "est_jaccard")
+    if verify:
+        out = out.filter(F.col("est_jaccard") >= threshold)
+    return out
+
+
+# --------------------------------------------------------------------------
+# simhash
+# --------------------------------------------------------------------------
+
+def simhash_udf():
+    """pandas UDF: text -> 64-bit simhash (sign of per-bit vote over
+    token FNV hashes)."""
+
+    @F.pandas_udf(T.LongType())
+    def _sh(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        bitmat = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+        for i, t in enumerate(texts):
+            toks = [w for w in (t or "").lower().split() if w]
+            if not toks:
+                continue
+            hs = np.fromiter(
+                (hash_str_u64(w) for w in toks), dtype=np.uint64, count=len(toks)
+            )
+            bits = (hs[:, None] & bitmat) != 0
+            votes = bits.sum(axis=0) * 2 - len(toks)  # (+1/-1 votes)
+            val = np.uint64(0)
+            val = (bitmat[0][votes > 0]).sum(dtype=np.uint64)
+            out[i] = np.int64(val)
+        return pd.Series(out)
+
+    return _sh
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """-> (id_a, id_b, hamming) with hamming <= max_hamming.
+
+    Candidate generation: split the 64-bit hash into ``chunks`` equal
+    slices; by pigeonhole any pair within hamming <= chunks-1 matches on
+    >=1 slice — so the join key is (chunk_idx, chunk_value), never a
+    cross join."""
+    width = 64 // chunks
+    sh = df.select(F.col(id_col), simhash_udf()(F.col(text_col)).alias("sh"))
+    banded = sh.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("sh", c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("val"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select(id_col, "sh", "cc.chunk", "cc.val")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,224 @@
+"""Similarity search over embedding columns (array<float>).
+
+  * brute-force cosine top-k — the exact baseline and the oracle twin:
+    the dot/norm folds are sequential left folds in both Spark
+    (F.aggregate over zip_with) and DuckDB (list_reduce), so scores are
+    bit-identical and rank ties can't flip across engines.
+  * LSH-bucketed (random hyperplane signs) — the scale path: candidates
+    come from Hamming-banded sign-signature buckets, the big side never
+    cross-joins.
+  * cosine near-duplicate pairs — same kernels, pair output.
+
+Queries are broadcast (they're the small side); the vector table only
+ever streams through one stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (JVM, codegen; fold order matches
+    DuckDB list_reduce with a prepended 0.0)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(list_zip({a}::DOUBLE[], {b}::DOUBLE[]), "
+        f"p -> p.list_1 * p.list_2)), (x, y) -> x + y)"
+    )
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return f"({dot_sql(a, b)} / (sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)})))"
+
+
+def ann_bruteforce(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """-> (qid, vec_id, cos_sim, rank). Exact: scans all vectors once per
+    query batch via a broadcast nested-loop; deterministic tie-break on
+    (cos desc, vec_id asc)."""
+    q = F.broadcast(queries.select(qid_col, qvec_col))
+    cand = vectors.select(id_col, vec_col).crossJoin(q)
+    cos = cosine_expr(F.col(vec_col), F.col(qvec_col))
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("cos_sim", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "cos_sim", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH (random hyperplanes) ANN
+# --------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def sign_signature_udf(dim: int, n_planes: int, seed: int = 13):
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    @F.pandas_udf(T.LongType())
+    def _sig(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (batch, dim) — Arrow list -> ndarray
+        proj = m.astype(np.float64) @ planes.T  # vectorized matmul
+        bits = (proj > 0).astype(np.uint64)
+        weights = np.uint64(1) << np.arange(n_planes, dtype=np.uint64)
+        return pd.Series((bits * weights[None, :]).sum(axis=1).astype(np.int64))
+
+    return _sig
+
+
+def ann_lsh(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    dim: int,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    seed: int = 13,
+) -> DataFrame:
+    """Approximate top-k: hyperplane sign signatures, banded buckets,
+    exact cosine re-rank within candidates. Vector side computes its
+    signature in one narrow pass; the join key is (band, bucket)."""
+    if n_planes % bands:
+        raise ValueError("bands must divide n_planes")
+    width = n_planes // bands
+    sig_v = sign_signature_udf(dim, n_planes, seed)
+    sig_q = sign_signature_udf(dim, n_planes, seed)
+
+    def banded(df, idc, vc, sig):
+        s = df.withColumn("_sig", sig(F.col(vc)))
+        return s.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("band"),
+                            F.shiftrightunsigned("_sig", c * width)
+                            .bitwiseAND(F.lit((1 << width) - 1))
+                            .alias("bucket"),
+                        )
+                        for c in range(bands)
+                    ]
+                )
+            ).alias("_bb"),
+        ).select(idc, vc, F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
+
+    v = banded(vectors.select(id_col, vec_col), id_col, vec_col, sig_v)
+    q = F.broadcast(banded(queries.select(qid_col, qvec_col), qid_col, qvec_col, sig_q))
+    cand = v.join(q, ["band", "bucket"]).dropDuplicates([qid_col, id_col])
+    cos = cosine_expr(F.col(vec_col), F.col(qvec_col))
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("cos_sim", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "cos_sim", "rank")
+    )
+
+
+def cosine_dup_pairs(
+    vectors: DataFrame,
+    *,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 13,
+    exact: bool = False,
+) -> DataFrame:
+    """Near-duplicate vector pairs (cos >= threshold, id_a < id_b).
+    ``exact=True`` does the O(n²) self-join (oracle/small scale);
+    default goes through LSH buckets."""
+    v = vectors.select(id_col, vec_col)
+    if exact:
+        a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        cand = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        sig = sign_signature_udf(dim, n_planes, seed)
+        width = n_planes // bands
+        s = v.withColumn("_sig", sig(F.col(vec_col))).select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("band"),
+                            F.shiftrightunsigned("_sig", c * width)
+                            .bitwiseAND(F.lit((1 << width) - 1))
+                            .alias("bucket"),
+                        )
+                        for c in range(bands)
+                    ]
+                )
+            ).alias("_bb"),
+        ).select(id_col, vec_col, "_bb.band", "_bb.bucket")
+        a, b = s.alias("a"), s.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col(f"a.{vec_col}").alias("va"),
+                F.col(f"b.{vec_col}").alias("vb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    cos = cosine_expr(F.col("va"), F.col("vb"))
+    return (
+        cand.withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -1,0 +1,136 @@
+"""Dedup family, similarity search, text functions, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geodiff_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from geodiff_spark.operators.similarity import (
+    ann_bruteforce,
+    ann_lsh,
+    cosine_dup_pairs,
+)
+from geodiff_spark.functions.multimodal import (
+    extract_features,
+    resize_images,
+    sample_frames,
+    synth_media,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog in the park today"),
+    (1, "the quick brown fox jumps over the lazy dog in the park tonight"),  # near-dup of 0
+    (2, "completely different text about spark shuffle partitions and joins"),
+    (3, "the quick brown fox jumps over the lazy dog in the park today"),  # exact dup of 0
+    (4, "spark shuffle partitions demand careful join ordering always"),
+    (5, "yet another unrelated document mentioning nothing in common"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_dedup_exact(spark, docs):
+    out = dedup_exact(docs, "doc_id", ["text"]).collect()
+    got = sorted((r["doc_id"], r["canon_id"], r["group_size"]) for r in out)
+    assert got == [(0, 0, 2), (3, 0, 2)]
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 3) in got  # exact dup: jaccard 1.0
+    assert (0, 1) in got and (1, 3) in got  # near dup
+    assert (0, 2) not in got
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_perm=64, bands=16, threshold=0.5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    assert got[(0, 3)] == 1.0
+    assert (0, 1) in got
+    assert all(a < b for a, b in got)
+
+
+def test_simhash_pairs(spark, docs):
+    pairs = simhash_pairs(docs, "doc_id", "text", max_hamming=8).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got[(0, 3)] == 0  # identical text, identical simhash
+    assert (0, 1) in got  # one-word difference: tiny hamming
+    assert (2, 5) not in got
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(21)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    base[7] = base[3] + rng.standard_normal(16).astype(np.float32) * 0.01  # near-dup
+    pdf = pd.DataFrame({"vec_id": np.arange(40), "embedding": list(base)})
+    return (
+        spark.createDataFrame(pdf, "vec_id long, embedding array<float>").cache(),
+        base,
+    )
+
+
+def test_ann_bruteforce_matches_numpy(spark, vectors):
+    df, base = vectors
+    qv = base[5]
+    queries = spark.createDataFrame(
+        pd.DataFrame({"qid": [0], "qvec": [qv]}), "qid long, qvec array<float>"
+    )
+    got = ann_bruteforce(df, queries, k=5).orderBy("rank").collect()
+    b = base.astype(np.float64)
+    q = qv.astype(np.float64)
+    cos = (b @ q) / (np.linalg.norm(b, axis=1) * np.linalg.norm(q))
+    exp = sorted(range(40), key=lambda i: (-cos[i], i))[:5]
+    assert [r["vec_id"] for r in got] == exp
+
+
+def test_ann_lsh_recall(spark, vectors):
+    df, base = vectors
+    queries = spark.createDataFrame(
+        pd.DataFrame({"qid": [0], "qvec": [base[3]]}), "qid long, qvec array<float>"
+    )
+    got = ann_lsh(df, queries, k=3, dim=16, n_planes=16, bands=8).collect()
+    ids = {r["vec_id"] for r in got}
+    assert 3 in ids  # the vector itself always collides with itself
+    assert 7 in ids  # its near-duplicate shares nearly all hyperplane signs
+
+
+def test_cosine_dup_pairs(spark, vectors):
+    df, _ = vectors
+    exact = cosine_dup_pairs(df, threshold=0.99, dim=16, exact=True).collect()
+    assert {(r["id_a"], r["id_b"]) for r in exact} == {(3, 7)}
+    lsh = cosine_dup_pairs(df, threshold=0.99, dim=16, exact=False).collect()
+    assert {(r["id_a"], r["id_b"]) for r in lsh} == {(3, 7)}
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media(spark, 30)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["feature"]) == 8 for r in rows)
+    thumbs = resize_images(media).collect()
+    assert all(len(r["thumb"]) == 64 for r in thumbs)
+    assert {r["asset_id"] % 3 for r in thumbs} == {0}  # only kind='image'
+    frames = sample_frames(media, every_n=4).collect()
+    assert len(frames) > 0
+    assert all(r["frame_idx"] % 4 == 0 for r in frames)
+    # determinism: same seed → same features
+    again = extract_features(synth_media(spark, 30)).collect()
+    a = {r["asset_id"]: list(r["feature"]) for r in rows}
+    b = {r["asset_id"]: list(r["feature"]) for r in again}
+    assert a == b
