@@ -1,10 +1,10 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry() smoke, queries() vs oracle_sql() via DuckDB.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each query exercises one operator family from SURVEY.md §2 (changeset
+algebra, spatial layer, dedup/similarity/text pipeline ops). Snapshot
+pairs for the changeset queries are *derived deterministically from the
+provided tables* (modular predicates on keys) so the DuckDB oracle can
+state the expected output in closed form.
 """
 
 from __future__ import annotations
@@ -12,27 +12,691 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from geodiff_spark.changeset import TableInfo
+from geodiff_spark.functions import text as TX
+from geodiff_spark.operators.apply import apply_or_raise
+from geodiff_spark.operators.concat import concat_tables
+from geodiff_spark.operators.dedup import (
+    dedup_exact,
+    dedup_exact_sql,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    ngram_jaccard_sql,
+    simhash_pairs,
+)
+from geodiff_spark.operators.diff import diff_table
+from geodiff_spark.operators.invert import invert_table
+from geodiff_spark.operators.rebase import rebase_table
+from geodiff_spark.operators.similarity import (
+    ann_bruteforce,
+    cosine_dup_pairs,
+    cosine_sql,
+)
+from geodiff_spark.spatial.cells import cell_sql, cell_udf, parent_udf, xy_sql
+from geodiff_spark.spatial.knn import knn_join
+from geodiff_spark.spatial.pip import pip_join
+from geodiff_spark.spatial.tiles import rasterize
+
+# ---------------------------------------------------------------------------
+# shared derivations (Spark + SQL twins)
+# ---------------------------------------------------------------------------
+
+ORDERS_INFO = TableInfo(
+    name="orders",
+    columns=("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"),
+    pk=("o_orderkey",),
+)
+
+# snapshot predicates: base drops %13==0 (future inserts), modified drops
+# %17==0 (deletes) and bumps totalprice on %5==0 (updates)
+_BASE_W = "o_orderkey % 13 != 0"
+_MOD_W = "o_orderkey % 17 != 0"
+_UPD_PRICE = "CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + CAST(1.0 AS DOUBLE) ELSE o_totalprice END"
+
+_ORD_COLS = "o_orderkey, o_custkey, o_totalprice, o_orderpriority"
+
+
+def _orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+
+
+def _base_orders(spark, sf_dir):
+    return _orders(spark, sf_dir).filter("o_orderkey % 13 != 0")
+
+
+def _mod_orders(spark, sf_dir):
+    return (
+        _orders(spark, sf_dir)
+        .filter("o_orderkey % 17 != 0")
+        .withColumn("o_totalprice", F.expr(_UPD_PRICE))
+    )
+
+
+_BASE_SQL = f"SELECT {_ORD_COLS} FROM orders WHERE {_BASE_W}"
+_MOD_SQL = (
+    "SELECT o_orderkey, o_custkey, "
+    f"{_UPD_PRICE} AS o_totalprice, o_orderpriority FROM orders WHERE {_MOD_W}"
+)
+
+# deterministic geolocation from customer keys (integer mod, then float —
+# identical arithmetic in Spark and DuckDB)
+_LAT = "(((c_custkey * 7919) % 16000) / CAST(100.0 AS DOUBLE) - CAST(80.0 AS DOUBLE) + CAST(0.003 AS DOUBLE))"
+_LON = "(((c_custkey * 104729) % 35000) / CAST(100.0 AS DOUBLE) - CAST(175.0 AS DOUBLE) + CAST(0.007 AS DOUBLE))"
+
+
+def _customers_geo(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey")
+        .withColumn("lat", F.expr(_LAT))
+        .withColumn("lon", F.expr(_LON))
+    )
+
+
+# tile rectangles derived from region keys (5 tiles)
+_TILE_X0 = "(r_regionkey * CAST(60.0 AS DOUBLE) - CAST(170.0 AS DOUBLE))"
+_TILE_Y0 = "(r_regionkey * CAST(25.0 AS DOUBLE) - CAST(62.0 AS DOUBLE))"
+_TILE_W, _TILE_H = 40.0, 18.0
+
+
+def _tiles(spark, sf_dir):
+    t = spark.read.parquet(f"{sf_dir}/region.parquet").select("r_regionkey")
+    t = (
+        t.withColumn("x0", F.expr(_TILE_X0))
+        .withColumn("y0", F.expr(_TILE_Y0))
+        .withColumn("x1", F.col("x0") + _TILE_W)
+        .withColumn("y1", F.col("y0") + _TILE_H)
+    )
+    ring = F.array(
+        F.struct(F.col("x0").alias("lon"), F.col("y0").alias("lat")),
+        F.struct(F.col("x1").alias("lon"), F.col("y0").alias("lat")),
+        F.struct(F.col("x1").alias("lon"), F.col("y1").alias("lat")),
+        F.struct(F.col("x0").alias("lon"), F.col("y1").alias("lat")),
+    )
+    return t.select(F.col("r_regionkey").alias("tile_id"), ring.alias("ring"),
+                    "x0", "y0", "x1", "y1")
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_doubled(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.unionByName(
+        d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+
+
+_DOCS_DOUBLED_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents"
+)
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# changeset queries
+# ---------------------------------------------------------------------------
+
+def q_diff_changeset(spark, sf_dir):
+    cs = diff_table(_base_orders(spark, sf_dir), _mod_orders(spark, sf_dir), ORDERS_INFO)
+    return cs.df.select(
+        "op",
+        F.coalesce("old_o_orderkey", "new_o_orderkey").alias("okey"),
+        F.col("old_o_totalprice").alias("old_price"),
+        F.col("new_o_totalprice").alias("new_price"),
+        F.col("old_o_orderpriority").alias("old_prio"),
+        F.col("new_o_orderpriority").alias("new_prio"),
+        "old_bits",
+        "new_bits",
+    )
+
+
+_DIFF_SQL = f"""
+WITH base AS ({_BASE_SQL}), mod AS ({_MOD_SQL})
+SELECT 'insert' AS op, m.o_orderkey AS okey,
+       CAST(NULL AS DOUBLE) AS old_price, m.o_totalprice AS new_price,
+       CAST(NULL AS VARCHAR) AS old_prio, m.o_orderpriority AS new_prio,
+       CAST(0 AS BIGINT) AS old_bits, CAST(15 AS BIGINT) AS new_bits
+FROM mod m WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.o_orderkey = m.o_orderkey)
+UNION ALL
+SELECT 'delete', b.o_orderkey, b.o_totalprice, NULL, b.o_orderpriority, NULL,
+       CAST(15 AS BIGINT), CAST(0 AS BIGINT)
+FROM base b WHERE NOT EXISTS (SELECT 1 FROM mod m WHERE m.o_orderkey = b.o_orderkey)
+UNION ALL
+SELECT 'update', b.o_orderkey, b.o_totalprice, m.o_totalprice, NULL, NULL,
+       CAST(5 AS BIGINT), CAST(4 AS BIGINT)
+FROM base b JOIN mod m ON b.o_orderkey = m.o_orderkey
+WHERE b.o_totalprice IS DISTINCT FROM m.o_totalprice
+"""
+
+
+def q_diff_summary(spark, sf_dir):
+    cs = diff_table(_base_orders(spark, sf_dir), _mod_orders(spark, sf_dir), ORDERS_INFO)
+    return cs.df.groupBy("op").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+_DIFF_SUMMARY_SQL = f"SELECT op, COUNT(*) AS cnt FROM ({_DIFF_SQL}) GROUP BY op"
+
+
+def q_apply_roundtrip(spark, sf_dir):
+    """apply(base, diff(base, mod)) must equal mod — oracle is just mod."""
+    base = _base_orders(spark, sf_dir)
+    mod = _mod_orders(spark, sf_dir)
+    cs = diff_table(base, mod, ORDERS_INFO)
+    return apply_or_raise(base, cs)
+
+
+def q_invert_roundtrip(spark, sf_dir):
+    """apply(mod, invert(diff(base, mod))) must equal base."""
+    base = _base_orders(spark, sf_dir)
+    mod = _mod_orders(spark, sf_dir)
+    cs = diff_table(base, mod, ORDERS_INFO)
+    return apply_or_raise(mod, invert_table(cs))
+
+
+# third snapshot for concat: from mod, delete %19==0, re-prioritize %7==0
+_C_W = "o_orderkey % 19 != 0"
+_C_PRIO = "CASE WHEN o_orderkey % 7 = 0 THEN 'X-CONCAT' ELSE o_orderpriority END"
+
+
+def _c_orders(spark, sf_dir):
+    return (
+        _mod_orders(spark, sf_dir)
+        .filter(_C_W)
+        .withColumn("o_orderpriority", F.expr(_C_PRIO))
+    )
+
+
+_C_SQL = (
+    f"SELECT o_orderkey, o_custkey, o_totalprice, {_C_PRIO} AS o_orderpriority "
+    f"FROM ({_MOD_SQL}) WHERE {_C_W}"
+)
+
+
+def q_concat_apply(spark, sf_dir):
+    """apply(base, concat(diff(base,mod), diff(mod,c))) == c."""
+    base = _base_orders(spark, sf_dir)
+    mod = _mod_orders(spark, sf_dir)
+    c = _c_orders(spark, sf_dir)
+    folded = concat_tables(
+        [diff_table(base, mod, ORDERS_INFO), diff_table(mod, c, ORDERS_INFO)]
+    )
+    return apply_or_raise(base, folded)
+
+
+# rebase scenario (no inserts — closed-form final state):
+#   theirs: totalprice += 10 on %7==1; delete %11==3
+#   ours:   priority = 'P-OURS' on %5==2; totalprice += 100 on %13==4;
+#           delete %17==5
+_THEIRS_SQL = f"""
+SELECT o_orderkey, o_custkey,
+  CASE WHEN o_orderkey % 7 = 1 THEN o_totalprice + CAST(10.0 AS DOUBLE) ELSE o_totalprice END AS o_totalprice,
+  o_orderpriority
+FROM orders WHERE o_orderkey % 11 != 3"""
+_OURS_SQL = f"""
+SELECT o_orderkey, o_custkey,
+  CASE WHEN o_orderkey % 13 = 4 THEN o_totalprice + CAST(100.0 AS DOUBLE) ELSE o_totalprice END AS o_totalprice,
+  CASE WHEN o_orderkey % 5 = 2 THEN 'P-OURS' ELSE o_orderpriority END AS o_orderpriority
+FROM orders WHERE o_orderkey % 17 != 5"""
+
+
+def _rebase_inputs(spark, sf_dir):
+    base = _orders(spark, sf_dir)
+    theirs = base.filter("o_orderkey % 11 != 3").withColumn(
+        "o_totalprice",
+        F.expr("CASE WHEN o_orderkey % 7 = 1 THEN o_totalprice + CAST(10.0 AS DOUBLE) ELSE o_totalprice END"),
+    )
+    ours = (
+        base.filter("o_orderkey % 17 != 5")
+        .withColumn(
+            "o_totalprice",
+            F.expr("CASE WHEN o_orderkey % 13 = 4 THEN o_totalprice + CAST(100.0 AS DOUBLE) ELSE o_totalprice END"),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.expr("CASE WHEN o_orderkey % 5 = 2 THEN 'P-OURS' ELSE o_orderpriority END"),
+        )
+    )
+    return base, theirs, ours
+
+
+def q_rebase_final(spark, sf_dir):
+    from geodiff_spark.api import Dataset, rebase
+
+    base, theirs, ours = _rebase_inputs(spark, sf_dir)
+    infos = {"orders": ORDERS_INFO}
+    final, _ = rebase(
+        Dataset(tables={"orders": base}, infos=infos),
+        Dataset(tables={"orders": theirs}, infos=infos),
+        Dataset(tables={"orders": ours}, infos=infos),
+    )
+    return final.tables["orders"]
+
+
+# closed form: survivors = not deleted by either side; ours wins column
+# conflicts (totalprice %13==4 beats theirs %7==1); disjoint-column edits
+# both apply.
+_REBASE_FINAL_SQL = """
+SELECT o_orderkey, o_custkey,
+  CASE WHEN o_orderkey % 13 = 4 THEN o_totalprice + CAST(100.0 AS DOUBLE)
+       WHEN o_orderkey % 7 = 1 THEN o_totalprice + CAST(10.0 AS DOUBLE)
+       ELSE o_totalprice END AS o_totalprice,
+  CASE WHEN o_orderkey % 5 = 2 THEN 'P-OURS' ELSE o_orderpriority END AS o_orderpriority
+FROM orders WHERE o_orderkey % 11 != 3 AND o_orderkey % 17 != 5
+"""
+
+
+def q_rebase_conflicts(spark, sf_dir):
+    base, theirs, ours = _rebase_inputs(spark, sf_dir)
+    from geodiff_spark.operators.diff import diff_table as dt
+
+    cs_theirs = dt(base, theirs, ORDERS_INFO)
+    cs_ours = dt(base, ours, ORDERS_INFO)
+    _, conflicts = rebase_table(cs_ours, cs_theirs)
+    return conflicts.select(
+        "fid",
+        "item_bits",
+        F.col("base_o_totalprice").alias("base_price"),
+        F.col("theirs_o_totalprice").alias("theirs_price"),
+        F.col("ours_o_totalprice").alias("ours_price"),
+    )
+
+
+# conflict rows = ours-update rows whose fid theirs also updated on the SAME
+# column (totalprice: %13==4 AND %7==1, both present) plus ours-update rows
+# on theirs-deleted fids (%11==3) — with "both deleted" not applicable
+# (ours deletes are %17==5 rows, conflict only via update).
+# NOTE fid = int32(o_orderkey) = o_orderkey at these scales.
+_REBASE_CONFLICTS_SQL = """
+WITH upd_ours AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_orderkey % 17 != 5
+    AND (o_orderkey % 13 = 4 OR o_orderkey % 5 = 2)
+)
+-- update/update same-column conflict
+SELECT o_orderkey AS fid, CAST(4 AS BIGINT) AS item_bits,
+       o_totalprice AS base_price,
+       o_totalprice + CAST(10.0 AS DOUBLE) AS theirs_price,
+       o_totalprice + CAST(100.0 AS DOUBLE) AS ours_price
+FROM upd_ours
+WHERE o_orderkey % 13 = 4 AND o_orderkey % 7 = 1 AND o_orderkey % 11 != 3
+UNION ALL
+-- ours update on theirs-deleted row: delete wins, theirs undefined
+SELECT o_orderkey AS fid,
+       CAST(CASE WHEN o_orderkey % 13 = 4 THEN 4 ELSE 0 END
+        + CASE WHEN o_orderkey % 5 = 2 THEN 8 ELSE 0 END AS BIGINT) AS item_bits,
+       CASE WHEN o_orderkey % 13 = 4 THEN o_totalprice END AS base_price,
+       CAST(NULL AS DOUBLE) AS theirs_price,
+       CASE WHEN o_orderkey % 13 = 4 THEN o_totalprice + CAST(100.0 AS DOUBLE) END AS ours_price
+FROM upd_ours
+WHERE o_orderkey % 11 = 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# spatial queries
+# ---------------------------------------------------------------------------
+
+_RES = 7
+_COARSE = 4
+
+
+def q_cell_assign(spark, sf_dir):
+    pts = _customers_geo(spark, sf_dir)
+    return (
+        pts.withColumn("cell", cell_udf(F.col("lat"), F.col("lon"), _RES))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c_custkey").alias("key_sum"))
+    )
+
+
+def _cell_assign_sql():
+    cell = cell_sql(_LAT, _LON, _RES)
+    return f"""
+    SELECT {cell} AS cell, COUNT(*) AS n, SUM(c_custkey) AS key_sum
+    FROM customer GROUP BY 1
+    """
+
+
+def q_cell_rollup(spark, sf_dir):
+    """parent_udf rollup res 7 -> 4."""
+    pts = _customers_geo(spark, sf_dir)
+    fine = pts.withColumn("cell", cell_udf(F.col("lat"), F.col("lon"), _RES))
+    return (
+        fine.withColumn("tile", parent_udf(F.col("cell"), _COARSE))
+        .groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _cell_rollup_sql():
+    # parent computed the same way as parent_np: decode res-7 x/y, shift,
+    # re-spread — NOT a fresh res-4 encode (float edge parity)
+    from geodiff_spark.spatial.cells import MODE_BIT, RES_SHIFT, _spread_sql
+
+    x7, y7 = xy_sql(_LAT, _LON, _RES)
+    shift = _RES - _COARSE
+    head = MODE_BIT | (_COARSE << RES_SHIFT)
+    tile = f"({head} | {_spread_sql(f'(({x7}) >> {shift})')} | ({_spread_sql(f'(({y7}) >> {shift})')} << 1))"
+    return f"SELECT {tile} AS tile, COUNT(*) AS n FROM customer GROUP BY 1"
+
+
+def q_pip(spark, sf_dir):
+    pts = _customers_geo(spark, sf_dir)
+    tiles = _tiles(spark, sf_dir).select("tile_id", "ring")
+    return pip_join(pts, tiles, res=5).select("c_custkey", "tile_id")
+
+
+def _pip_sql():
+    # ray-casting on a CCW rectangle == half-open bbox test (x0<=px<x1,
+    # y0<=py<y1) — see tests/test_spatial.py edge analysis
+    return f"""
+    SELECT c.c_custkey AS c_custkey, r.r_regionkey AS tile_id
+    FROM customer c, region r
+    WHERE {_LON} >= {_TILE_X0} AND {_LON} < {_TILE_X0} + {_TILE_W}
+      AND {_LAT} >= {_TILE_Y0} AND {_LAT} < {_TILE_Y0} + {_TILE_H}
+    """
+
+
+_KNN_K = 10
+_KNN_RES = 4
+_KNN_RING = 2
+
+_QLAT = "(((n_nationkey * 3571) % 12000) / CAST(100.0 AS DOUBLE) - CAST(55.0 AS DOUBLE) + CAST(0.013 AS DOUBLE))"
+_QLON = "(((n_nationkey * 9973) % 30000) / CAST(100.0 AS DOUBLE) - CAST(150.0 AS DOUBLE) + CAST(0.017 AS DOUBLE))"
+
+
+def q_knn(spark, sf_dir):
+    pts = _customers_geo(spark, sf_dir)
+    queries = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .filter("n_nationkey < 5")
+        .select(
+            F.col("n_nationkey").alias("qid"),
+            F.expr(_QLAT).alias("qlat"),
+            F.expr(_QLON).alias("qlon"),
+        )
+    )
+    return knn_join(
+        pts, queries, k=_KNN_K, res=_KNN_RES, ring=_KNN_RING,
+        point_id_col="c_custkey",
+    ).select("qid", "c_custkey", "dist_sq", F.col("rank").cast("long").alias("rank"))
+
+
+def _knn_sql():
+    px, py = xy_sql(_LAT, _LON, _KNN_RES)
+    qx, qy = xy_sql(
+        _QLAT.replace("n_nationkey", "q.n_nationkey"),
+        _QLON.replace("n_nationkey", "q.n_nationkey"),
+        _KNN_RES,
+    )
+    n_side = 1 << _KNN_RES
+    return f"""
+    WITH cand AS (
+      SELECT q.n_nationkey AS qid, c.c_custkey AS c_custkey,
+        ({_LAT} - {_QLAT.replace('n_nationkey', 'q.n_nationkey')})
+          * ({_LAT} - {_QLAT.replace('n_nationkey', 'q.n_nationkey')})
+        + ({_LON} - {_QLON.replace('n_nationkey', 'q.n_nationkey')})
+          * ({_LON} - {_QLON.replace('n_nationkey', 'q.n_nationkey')}) AS dist_sq
+      FROM customer c, nation q
+      WHERE q.n_nationkey < 5
+        AND LEAST(abs(({px}) - ({qx})), {n_side} - abs(({px}) - ({qx}))) <= {_KNN_RING}
+        AND abs(({py}) - ({qy})) <= {_KNN_RING}
+    )
+    SELECT qid, c_custkey, dist_sq, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist_sq, c_custkey) AS rank
+      FROM cand
+    ) WHERE rank <= {_KNN_K}
+    """
+
+
+def q_raster(spark, sf_dir):
+    pts = _customers_geo(spark, sf_dir)
+    return rasterize(pts, res=6, tile_res=3)
+
+
+def _raster_sql():
+    from geodiff_spark.spatial.cells import MODE_BIT, RES_SHIFT, _spread_sql
+
+    cell = cell_sql(_LAT, _LON, 6)
+    x6, y6 = xy_sql(_LAT, _LON, 6)
+    head = MODE_BIT | (3 << RES_SHIFT)
+    tile = f"({head} | {_spread_sql(f'(({x6}) >> 3)')} | ({_spread_sql(f'(({y6}) >> 3)')} << 1))"
+    return f"""
+    SELECT {tile} AS tile, {cell} AS cell, COUNT(*) AS value
+    FROM customer GROUP BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
+# text / dedup / similarity queries
+# ---------------------------------------------------------------------------
+
+def q_text_features(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        TX.token_count_expr(F.col("text")).alias("n_tokens"),
+        TX.bpe_ish_token_count_expr(F.col("text")).alias("n_bpe"),
+        TX.quality_expr(F.col("text")).alias("quality"),
+        TX.lang_id_expr(F.col("text")).alias("lang_pred"),
+        TX.fingerprint_expr(F.col("text")).alias("fingerprint"),
+    )
+
+
+def _text_features_sql():
+    return f"""
+    SELECT doc_id,
+      {TX.token_count_sql('text')} AS n_tokens,
+      {TX.bpe_ish_token_count_sql('text')} AS n_bpe,
+      {TX.quality_sql('text')} AS quality,
+      {TX.lang_id_sql('text')} AS lang_pred,
+      {TX.fingerprint_sql('text')} AS fingerprint
+    FROM documents
+    """
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup_exact(_docs_doubled(spark, sf_dir), "doc_id", ["text"])
+
+
+def _dedup_exact_sql():
+    return dedup_exact_sql(f"({_DOCS_DOUBLED_SQL})", "doc_id", ["text"])
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.1
+    )
+
+
+def _ngram_jaccard_oracle():
+    return ngram_jaccard_sql("documents", "doc_id", "text", n=3, threshold=0.1)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """Rows-only check (LSH banding is engine-internal hashing)."""
+    return minhash_lsh_pairs(
+        _docs_doubled(spark, sf_dir), "doc_id", "text",
+        num_perm=64, bands=16, threshold=0.9,
+    )
+
+
+def q_simhash(spark, sf_dir):
+    """Rows-only check."""
+    return simhash_pairs(_docs_doubled(spark, sf_dir), "doc_id", "text", max_hamming=2)
+
+
+def q_ann_bruteforce(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ann_bruteforce(emb, queries, k=10).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+def _ann_sql():
+    cos = cosine_sql("v.embedding", "q.embedding")
+    return f"""
+    SELECT qid, vec_id, cos_sim, rank FROM (
+      SELECT q.vec_id AS qid, v.vec_id AS vec_id, {cos} AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY {cos} DESC, v.vec_id) AS rank
+      FROM embeddings v, embeddings q WHERE q.vec_id < 3
+    ) WHERE rank <= 10
+    """
+
+
+def q_cosine_dups(spark, sf_dir):
+    return cosine_dup_pairs(_emb(spark, sf_dir), threshold=0.4, dim=64, exact=True)
+
+
+def _cosine_dups_sql():
+    cos = cosine_sql("a.embedding", "b.embedding")
+    return f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {cos} >= 0.4
+    """
+
+
+def q_cosine_dups_lsh(spark, sf_dir):
+    """Rows-only (approximate recall by construction)."""
+    return cosine_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.4, dim=64, exact=False,
+        n_planes=16, bands=8,
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: batch twin of the streaming windowed aggregation
+# ---------------------------------------------------------------------------
+
+def q_events_hourly(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    )
+
+
+_EVENTS_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n, SUM(value) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_lineitem_pricing(spark, sf_dir):
+    """TPC-H Q1-flavored aggregate — exercises scan pushdown + partial agg."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_LINEITEM_SQL = """
+SELECT l_returnflag, l_linestatus,
+  SUM(l_quantity) AS sum_qty,
+  SUM(l_extendedprice) AS sum_base_price,
+  SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+  COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: spatial-join + changeset-diff — diff two orders
+    snapshots, geolocate changed customers, roll up change counts per
+    coarse cell (the BASELINE.json headline shape)."""
+    sf_dir = "/root/testdata/sf0.001"
+    cs = diff_table(_base_orders(spark, sf_dir), _mod_orders(spark, sf_dir), ORDERS_INFO)
+    changed = cs.df.select(
+        "op", F.coalesce("old_o_custkey", "new_o_custkey").alias("c_custkey")
+    )
+    pts = _customers_geo(spark, sf_dir)
+    joined = changed.join(pts, "c_custkey", "inner")
+    return (
+        joined.withColumn("cell", cell_udf(F.col("lat"), F.col("lon"), _COARSE))
+        .groupBy("cell", "op")
+        .agg(F.count(F.lit(1)).alias("n_changes"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "diff_changeset": q_diff_changeset,
+        "diff_summary": q_diff_summary,
+        "apply_roundtrip": q_apply_roundtrip,
+        "invert_roundtrip": q_invert_roundtrip,
+        "concat_apply": q_concat_apply,
+        "rebase_final": q_rebase_final,
+        "rebase_conflicts": q_rebase_conflicts,
+        "cell_assign": q_cell_assign,
+        "cell_rollup": q_cell_rollup,
+        "pip": q_pip,
+        "knn": q_knn,
+        "raster": q_raster,
+        "text_features": q_text_features,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "ann_bruteforce": q_ann_bruteforce,
+        "cosine_dups": q_cosine_dups,
+        "cosine_dups_lsh": q_cosine_dups_lsh,
+        "events_hourly": q_events_hourly,
+        "lineitem_pricing": q_lineitem_pricing,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "diff_changeset": _DIFF_SQL,
+        "diff_summary": _DIFF_SUMMARY_SQL,
+        "apply_roundtrip": _MOD_SQL,
+        "invert_roundtrip": _BASE_SQL,
+        "concat_apply": _C_SQL,
+        "rebase_final": _REBASE_FINAL_SQL,
+        "rebase_conflicts": _REBASE_CONFLICTS_SQL,
+        "cell_assign": _cell_assign_sql(),
+        "cell_rollup": _cell_rollup_sql(),
+        "pip": _pip_sql(),
+        "knn": _knn_sql(),
+        "raster": _raster_sql(),
+        "text_features": _text_features_sql(),
+        "dedup_exact": _dedup_exact_sql(),
+        "ngram_jaccard": _ngram_jaccard_oracle(),
+        "ann_bruteforce": _ann_sql(),
+        "cosine_dups": _cosine_dups_sql(),
+        "events_hourly": _EVENTS_SQL,
+        "lineitem_pricing": _LINEITEM_SQL,
+        # minhash_lsh / simhash / cosine_dups_lsh: engine-internal hashing,
+        # rows-only check by design
+    }

@@ -95,7 +95,7 @@ def ngram_jaccard_pairs(
     integer-exact across engines."""
     sh = df.select(
         F.col(id_col), shingles_expr(F.col(text_col), n).alias("sh")
-    ).withColumn("sz", F.size("sh"))
+    ).withColumn("sz", F.size("sh").cast("long"))
     sizes = sh.select(id_col, "sz")
     ex = sh.select(id_col, F.explode("sh").alias("shingle"))
     a, b = ex.alias("a"), ex.alias("b")

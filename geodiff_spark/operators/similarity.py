@@ -48,7 +48,7 @@ def dot_sql(a: str, b: str) -> str:
     return (
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         f"list_transform(list_zip({a}::DOUBLE[], {b}::DOUBLE[]), "
-        f"p -> p.list_1 * p.list_2)), (x, y) -> x + y)"
+        f"p -> p[1] * p[2])), (x, y) -> x + y)"
     )
 
 
