@@ -573,9 +573,11 @@ def _cosine_dups_sql():
 
 def q_cosine_dups_lsh(spark, sf_dir):
     """Rows-only (approximate recall by construction)."""
+    # wide buckets (8 bits = 256 buckets/band): candidate volume stays
+    # ~|pairs in same 256th| x 4 bands instead of quadratic blowup
     return cosine_dup_pairs(
         _emb(spark, sf_dir), threshold=0.4, dim=64, exact=False,
-        n_planes=16, bands=8,
+        n_planes=32, bands=4,
     )
 
 

@@ -94,10 +94,19 @@ def rebase(
     ours_rebased)) — i.e. rollback ∘ theirs ∘ rebased-ours collapsed to
     one net changeset (geodiff.cpp:937-965).
     """
-    base2theirs = create_changeset(base, theirs)
+    # both diffs feed multiple downstream consumers (has_changes action,
+    # rebase pass-1/2 joins, invert, concat) — persist once instead of
+    # recomputing the full-outer diff per consumer
+    base2theirs = {
+        n: type(t)(info=t.info, df=t.df.persist())
+        for n, t in create_changeset(base, theirs).items()
+    }
     if not has_changes(base2theirs):
         return ours, {}
-    base2ours = create_changeset(base, ours)
+    base2ours = {
+        n: type(t)(info=t.info, df=t.df.persist())
+        for n, t in create_changeset(base, ours).items()
+    }
     if not has_changes(base2ours):
         final = apply_changeset(ours.tables, base2theirs)
         return Dataset(tables=final, infos=ours.infos), {}

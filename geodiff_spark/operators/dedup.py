@@ -24,6 +24,16 @@ from pyspark.sql import types as T
 
 from ..functions.text import tokens_expr, tokens_sql
 
+
+def _spread_input(df: DataFrame, key: str) -> DataFrame:
+    """Repartition a (possibly single-file) source to cluster parallelism
+    before a heavy per-row UDF stage."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par, key)
+    return df
+
+
 # --------------------------------------------------------------------------
 # exact dedup
 # --------------------------------------------------------------------------
@@ -93,9 +103,14 @@ def ngram_jaccard_pairs(
     aggregate common counts, join doc sizes, filter. jaccard itself is
     re-derivable from the integer outputs — keeping the comparison gate
     integer-exact across engines."""
-    sh = df.select(
-        F.col(id_col), shingles_expr(F.col(text_col), n).alias("sh")
-    ).withColumn("sz", F.size("sh").cast("long"))
+    df = _spread_input(df, id_col)
+    # shingle arrays feed four consumers (self-join both sides + two size
+    # joins) — persist the one expensive projection
+    sh = (
+        df.select(F.col(id_col), shingles_expr(F.col(text_col), n).alias("sh"))
+        .withColumn("sz", F.size("sh").cast("long"))
+        .persist()
+    )
     sizes = sh.select(id_col, "sz")
     ex = sh.select(id_col, F.explode("sh").alias("shingle"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -154,33 +169,81 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
-def _shingle_hashes(texts: pd.Series, n: int) -> list[np.ndarray]:
-    """Per doc: uint64 hashes of its distinct word n-gram shingles."""
-    out = []
-    for t in texts:
-        toks = [w for w in (t or "").lower().split() if w]
-        if len(toks) < n:
-            grams: set[str] = set(toks)
-        else:
-            grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-        if not grams:
-            out.append(np.empty(0, dtype=np.uint64))
-            continue
-        hs = np.fromiter(
-            (hash_str_u64(g) for g in grams), dtype=np.uint64, count=len(grams)
-        )
-        out.append(hs)
-    return out
+def _fnv1a_batch(strings: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a 64 over a batch of strings: pad UTF-8 bytes to
+    the batch max length, fold over byte POSITIONS (not rows)."""
+    enc = pd.Series(strings).astype(str).str.encode("utf-8")
+    lens = enc.str.len().to_numpy()
+    m = len(enc)
+    if m == 0:
+        return np.empty(0, dtype=np.uint64)
+    maxlen = int(lens.max()) if m else 0
+    buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    offs = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    h = np.full(m, 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            active = lens > j
+            idx = offs[:-1][active] + j
+            hv = h[active]
+            h[active] = (hv ^ buf[idx].astype(np.uint64)) * prime
+    return h
 
 
 def hash_str_u64(s: str) -> np.uint64:
-    """FNV-1a 64 over UTF-8 — deterministic across processes (unlike
-    Python's seeded hash())."""
-    h = np.uint64(0xCBF29CE484222325)
+    """Scalar FNV-1a 64 (tests/oracles); the batch twin is _fnv1a_batch."""
+    return _fnv1a_batch(np.array([s], dtype=object))[0]
+
+
+def _token_hashes(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """All token hashes of a batch, flattened: returns (hashes uint64,
+    doc_offsets int64 of len n_docs+1). Hashing is vectorized over the
+    UNIQUE tokens, then gathered."""
+    tok_lists = [(t or "").lower().split() for t in texts]
+    counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                         count=len(tok_lists))
+    offs = np.zeros(len(tok_lists) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    flat = np.array([w for ts in tok_lists for w in ts], dtype=object)
+    if len(flat) == 0:
+        return np.empty(0, dtype=np.uint64), offs
+    uniq, inv = np.unique(flat, return_inverse=True)
+    return _fnv1a_batch(uniq)[inv], offs
+
+
+def _shingle_hash_stream(texts: pd.Series, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Order-sensitive n-gram hashes per doc WITHOUT materializing
+    shingle strings: combine consecutive token hashes with a vectorized
+    positional mix. Duplicates are kept (min/XOR-style consumers are
+    insensitive). Returns (shingle hashes, doc_offsets)."""
+    th, offs = _token_hashes(texts)
+    n_docs = len(offs) - 1
+    counts = np.diff(offs)
+    if len(th) == 0:
+        return th, offs
     with np.errstate(over="ignore"):
-        for b in s.encode("utf-8"):
-            h = (h ^ np.uint64(b)) * np.uint64(0x100000001B3)
-    return h
+        comb = th.copy()
+        for j in range(1, n):
+            shifted = np.empty_like(th)
+            shifted[:-j] = th[j:]
+            shifted[-j:] = 0
+            comb = comb * np.uint64(0x9E3779B97F4A7C15) + shifted
+        comb = _splitmix64(comb)
+    # valid shingle starts: i .. i+n-1 inside one doc; docs shorter than n
+    # fall back to their single-token hashes (matches the string version)
+    out_parts = []
+    new_offs = np.zeros(n_docs + 1, dtype=np.int64)
+    for d in range(n_docs):
+        lo, hi = offs[d], offs[d + 1]
+        if hi - lo >= n:
+            part = comb[lo : hi - n + 1]
+        else:
+            part = _splitmix64(th[lo:hi])  # degenerate: token-level
+        out_parts.append(part)
+        new_offs[d + 1] = new_offs[d] + len(part)
+    return (np.concatenate(out_parts) if out_parts else comb[:0]), new_offs
 
 
 def minhash_signature_udf(num_perm: int, n: int):
@@ -191,15 +254,22 @@ def minhash_signature_udf(num_perm: int, n: int):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _sig(texts: pd.Series) -> pd.Series:
-        res = []
+        hs, offs = _shingle_hash_stream(texts, n)
+        n_docs = len(offs) - 1
+        empty = np.full(num_perm, np.iinfo(np.int64).max, dtype=np.int64)
+        if len(hs) == 0:
+            return pd.Series([empty] * n_docs)
         with np.errstate(over="ignore"):
-            for hs in _shingle_hashes(texts, n):
-                if hs.size == 0:
-                    res.append(np.full(num_perm, np.iinfo(np.int64).max, dtype=np.int64))
-                    continue
-                m = _splitmix64(hs[:, None] ^ seeds[None, :])
-                res.append((m.min(axis=0) >> np.uint64(1)).astype(np.int64))
-        return pd.Series(res)
+            m = (_splitmix64(hs[:, None] ^ seeds[None, :]) >> np.uint64(1)).astype(
+                np.int64
+            )
+        counts = np.diff(offs)
+        nonempty = counts > 0
+        starts = offs[:-1][nonempty]
+        mins = np.minimum.reduceat(m, starts, axis=0)
+        res = np.full((n_docs, num_perm), np.iinfo(np.int64).max, dtype=np.int64)
+        res[nonempty] = mins
+        return pd.Series(list(res))
 
     return _sig
 
@@ -226,6 +296,7 @@ def minhash_lsh_pairs(
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
     rows_per_band = num_perm // bands
+    df = _spread_input(df, id_col)
     sig = df.select(
         F.col(id_col),
         minhash_signature_udf(num_perm, shingle_n)(F.col(text_col)).alias("sig"),
@@ -287,20 +358,22 @@ def simhash_udf():
 
     @F.pandas_udf(T.LongType())
     def _sh(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        bitmat = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
-        for i, t in enumerate(texts):
-            toks = [w for w in (t or "").lower().split() if w]
-            if not toks:
-                continue
-            hs = np.fromiter(
-                (hash_str_u64(w) for w in toks), dtype=np.uint64, count=len(toks)
-            )
-            bits = (hs[:, None] & bitmat) != 0
-            votes = bits.sum(axis=0) * 2 - len(toks)  # (+1/-1 votes)
-            val = np.uint64(0)
-            val = (bitmat[0][votes > 0]).sum(dtype=np.uint64)
-            out[i] = np.int64(val)
+        th, offs = _token_hashes(texts)
+        n_docs = len(offs) - 1
+        out = np.zeros(n_docs, dtype=np.int64)
+        if len(th) == 0:
+            return pd.Series(out)
+        bitw = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        bits = ((th[:, None] & bitw[None, :]) != 0).astype(np.int32)
+        counts = np.diff(offs)
+        nonempty = counts > 0
+        starts = offs[:-1][nonempty]
+        sums = np.add.reduceat(bits, starts, axis=0)  # (docs, 64) bit votes
+        votes = sums * 2 - counts[nonempty, None]
+        vals = (
+            ((votes > 0).astype(np.uint64) * bitw[None, :]).sum(axis=1)
+        ).astype(np.int64)
+        out[nonempty] = vals
         return pd.Series(out)
 
     return _sh
@@ -321,6 +394,7 @@ def simhash_pairs(
     >=1 slice — so the join key is (chunk_idx, chunk_value), never a
     cross join."""
     width = 64 // chunks
+    df = _spread_input(df, id_col)
     sh = df.select(F.col(id_col), simhash_udf()(F.col(text_col)).alias("sh"))
     banded = sh.select(
         id_col,

@@ -88,9 +88,13 @@ def diff_table(
         b = b.repartition(int(np), *info.pk)
         m = m.repartition(int(np), *info.pk)
     bb, mm = b.alias("b"), m.alias("m")
+    # plain equality, NOT eqNullSafe: null PKs are invalid in the reference
+    # (get_primary_key throws, geodiffutils.cpp:386-387) and null-safe keys
+    # compile to coalesce(k,0)/isnull(k) which disables bucketed/storage-
+    # partitioned scans — the co-partitioned join would always reshuffle
     pk_cond = reduce(
         lambda x, y: x & y,
-        [F.col(f"b.{k}").eqNullSafe(F.col(f"m.{k}")) for k in info.pk],
+        [F.col(f"b.{k}") == F.col(f"m.{k}") for k in info.pk],
     )
     j = mm.join(bb, pk_cond, "full_outer")
 

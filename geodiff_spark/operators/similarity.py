@@ -56,6 +56,12 @@ def cosine_sql(a: str, b: str) -> str:
     return f"({dot_sql(a, b)} / (sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)})))"
 
 
+def with_inv_norm(df, vec_col: str, out_col: str = "_inv_norm"):
+    """Precompute 1/||v|| once per vector (narrow stage) so pairwise
+    cosine costs a single dot-product fold instead of three."""
+    return df.withColumn(out_col, F.lit(1.0) / norm_expr(F.col(vec_col)))
+
+
 def ann_bruteforce(
     vectors: DataFrame,
     queries: DataFrame,
@@ -130,7 +136,7 @@ def ann_lsh(
     sig_q = sign_signature_udf(dim, n_planes, seed)
 
     def banded(df, idc, vc, sig):
-        s = df.withColumn("_sig", sig(F.col(vc)))
+        s = with_inv_norm(df, vc, f"_inv_{idc}").withColumn("_sig", sig(F.col(vc)))
         return s.select(
             "*",
             F.explode(
@@ -146,12 +152,16 @@ def ann_lsh(
                     ]
                 )
             ).alias("_bb"),
-        ).select(idc, vc, F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
+        ).select(idc, vc, f"_inv_{idc}", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
 
     v = banded(vectors.select(id_col, vec_col), id_col, vec_col, sig_v)
     q = F.broadcast(banded(queries.select(qid_col, qvec_col), qid_col, qvec_col, sig_q))
     cand = v.join(q, ["band", "bucket"]).dropDuplicates([qid_col, id_col])
-    cos = cosine_expr(F.col(vec_col), F.col(qvec_col))
+    cos = (
+        dot_expr(F.col(vec_col), F.col(qvec_col))
+        * F.col(f"_inv_{id_col}")
+        * F.col(f"_inv_{qid_col}")
+    )
     w = Window.partitionBy(qid_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
     return (
         cand.withColumn("cos_sim", cos)
@@ -176,10 +186,16 @@ def cosine_dup_pairs(
     """Near-duplicate vector pairs (cos >= threshold, id_a < id_b).
     ``exact=True`` does the O(n²) self-join (oracle/small scale);
     default goes through LSH buckets."""
+    par = vectors.sparkSession.sparkContext.defaultParallelism
     v = vectors.select(id_col, vec_col)
+    if v.rdd.getNumPartitions() < par:
+        v = v.repartition(par, id_col)
+    v = with_inv_norm(v, vec_col, "_inv")
     if exact:
-        a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-        b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                     F.col("_inv").alias("inv_a"))
+        b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                     F.col("_inv").alias("inv_b"))
         cand = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
         sig = sign_signature_udf(dim, n_planes, seed)
@@ -199,7 +215,7 @@ def cosine_dup_pairs(
                     ]
                 )
             ).alias("_bb"),
-        ).select(id_col, vec_col, "_bb.band", "_bb.bucket")
+        ).select(id_col, vec_col, "_inv", "_bb.band", "_bb.bucket")
         a, b = s.alias("a"), s.alias("b")
         cand = (
             a.join(
@@ -213,10 +229,18 @@ def cosine_dup_pairs(
                 F.col(f"b.{id_col}").alias("id_b"),
                 F.col(f"a.{vec_col}").alias("va"),
                 F.col(f"b.{vec_col}").alias("vb"),
+                F.col("a._inv").alias("inv_a"),
+                F.col("b._inv").alias("inv_b"),
             )
             .dropDuplicates(["id_a", "id_b"])
         )
-    cos = cosine_expr(F.col("va"), F.col("vb"))
+    # exact mode stays in division form: it is the oracle twin of
+    # cosine_sql and must be BIT-identical (1/n * d != d / n in floats).
+    # The LSH path (engine-internal) takes the cheaper reciprocal form.
+    if exact:
+        cos = cosine_expr(F.col("va"), F.col("vb"))
+    else:
+        cos = dot_expr(F.col("va"), F.col("vb")) * F.col("inv_a") * F.col("inv_b")
     return (
         cand.withColumn("cos_sim", cos)
         .filter(F.col("cos_sim") >= threshold)

@@ -160,7 +160,13 @@ def cell_udf(lat: Column, lon: Column, res: int) -> Column:
 def parent_udf(cell: Column, parent_res: int) -> Column:
     @F.pandas_udf(T.LongType())
     def _par(c: pd.Series) -> pd.Series:
-        return pd.Series(parent_np(c.to_numpy(np.int64), parent_res))
+        # null-safe: masked rows (e.g. Undefined changeset values) pass
+        # through as nulls instead of decoding garbage
+        valid = c.notna()
+        vals = c.fillna(MODE_BIT | (MAX_RES << RES_SHIFT)).to_numpy(np.int64)
+        out = pd.Series(parent_np(vals, parent_res), dtype="Int64")
+        out[~valid.to_numpy()] = None
+        return out
 
     return _par(cell)
 

@@ -7,7 +7,17 @@ from geodiff_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("geodiff_spark_tests", cores=8, shuffle_partitions=8)
+    import tempfile
+
+    s = get_spark(
+        "geodiff_spark_tests",
+        cores=8,
+        shuffle_partitions=8,
+        extra_confs={
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="gds_wh_"),
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
     yield s
 
 

@@ -1,0 +1,90 @@
+"""Binary wire codec: varint vectors, round-trip, format invariants
+(docs/changeset-format.md)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from geodiff_spark import TableInfo, apply_or_raise, diff_table, has_changes
+from geodiff_spark.sources.changeset_io import (
+    OP_BYTE,
+    read_changeset_file,
+    read_varint,
+    write_changeset_file,
+    write_varint,
+)
+
+T2 = TableInfo(name="t", columns=("fid", "name", "x", "blob"), pk=("fid",))
+SCHEMA = "fid long, name string, x double, blob binary"
+
+
+def test_varint_vectors():
+    # SQLite varint: 7-bit groups, high bit = continuation, 9-byte form
+    cases = {
+        0: b"\x00",
+        0x7F: b"\x7f",
+        0x80: b"\x81\x00",
+        0x3FFF: b"\xff\x7f",
+        0x4000: b"\x81\x80\x00",
+        (1 << 56) - 1: b"\xff" * 7 + b"\x7f",
+        # 9-byte form (sqlite3PutVarint): low 8 bits raw in byte 9,
+        # remaining 56 bits in 8 continuation bytes
+        1 << 56: b"\x80\xc0" + b"\x80" * 6 + b"\x00",
+        (1 << 64) - 1: b"\xff" * 8 + b"\xff",
+    }
+    for n, enc in cases.items():
+        assert write_varint(n) == enc, hex(n)
+        got, pos = read_varint(memoryview(enc), 0)
+        assert got == n and pos == len(enc)
+
+
+def test_wire_roundtrip(spark, tmp_path):
+    a = spark.createDataFrame(
+        [(1, "a", 1.5, b"\x01\x02"), (2, None, -0.0, None), (3, "c", 3.25, b"")],
+        SCHEMA,
+    )
+    b = spark.createDataFrame(
+        [(1, "a2", 1.5, b"\x01\x02"), (3, "c", 3.25, b"zz"), (4, "d", float("inf"), b"\xff")],
+        SCHEMA,
+    )
+    cs = {"t": diff_table(a, b, T2)}
+    path = str(tmp_path / "change.diff")
+    write_changeset_file(cs, path)
+
+    decoded = read_changeset_file(
+        spark, path, {"t": T2},
+        {"t": [f.dataType for f in a.schema.fields]},
+    )
+    # decoded changeset applies to `a` and reproduces `b`
+    patched = apply_or_raise(a, decoded["t"])
+    assert not has_changes({"t": diff_table(patched, b, T2)})
+
+
+def test_wire_format_bytes(spark, tmp_path):
+    a = spark.createDataFrame([(1, "x", 1.0, None)], SCHEMA)
+    b = spark.createDataFrame([], SCHEMA)
+    cs = {"t": diff_table(a, b, T2)}  # one DELETE
+    path = str(tmp_path / "d.diff")
+    write_changeset_file(cs, path)
+    raw = open(path, "rb").read()
+    # header: 'T', ncol=4, pk flags 1,0,0,0, name 't\0'
+    assert raw[:8] == b"T\x04\x01\x00\x00\x00t\x00"
+    # entry: DELETE op byte + indirect 0
+    assert raw[8] == OP_BYTE["delete"] and raw[9] == 0
+    # old record: int 1 (type 1 + BE8), text 'x', real 1.0, NULL
+    assert raw[10:19] == b"\x01" + struct.pack(">q", 1)
+    assert raw[19:22] == b"\x03\x01x"
+    assert raw[22:31] == b"\x02" + struct.pack(">d", 1.0)
+    assert raw[31] == 0x05
+    assert len(raw) == 32
+
+
+def test_empty_table_emits_nothing(spark, tmp_path):
+    a = spark.createDataFrame([(1, "x", 1.0, None)], SCHEMA)
+    cs = {"t": diff_table(a, a, T2)}
+    path = str(tmp_path / "e.diff")
+    write_changeset_file(cs, path)
+    assert open(path, "rb").read() == b""  # lazy headers: no changes, no bytes

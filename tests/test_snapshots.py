@@ -1,0 +1,41 @@
+"""Bucketed snapshot store: the co-partitioned diff must have NO
+Exchange on either side of the join (SURVEY.md §4 'co-partitioned diff
+join')."""
+
+from __future__ import annotations
+
+import pytest
+
+from geodiff_spark import TableInfo, has_changes, diff_table
+from geodiff_spark.sources.snapshots import SnapshotStore
+
+T = TableInfo(name="snap_t", columns=("fid", "v"), pk=("fid",))
+
+
+def test_bucketed_diff_no_shuffle(spark, tmp_path):
+    store = SnapshotStore(spark, n_buckets=8)
+    a = spark.createDataFrame([(i, f"v{i}") for i in range(1000)], "fid long, v string")
+    b = spark.createDataFrame(
+        [(i, f"v{i}" if i % 10 else "changed") for i in range(5, 1000)],
+        "fid long, v string",
+    )
+    store.write(a, "snap_base", T)
+    store.write(b, "snap_mod", T)
+    try:
+        cs = store.diff_snapshots("snap_base", "snap_mod", T)
+        plan = cs.df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # bucketed scan feeds the join directly — no Exchange anywhere
+        assert "Exchange" not in plan, plan
+        # and the semantics still hold
+        ops = {r["op"]: r["cnt"] for r in cs.df.groupBy("op").count().withColumnRenamed("count", "cnt").collect()}
+        assert ops["delete"] == 5
+        assert ops["update"] == sum(1 for i in range(5, 1000) if i % 10 == 0)
+        # round trip through the store
+        from geodiff_spark import apply_or_raise
+
+        patched = apply_or_raise(store.read("snap_base"), cs)
+        assert not has_changes({"t": diff_table(patched, store.read("snap_mod"), T)})
+    finally:
+        store.drop("snap_base")
+        store.drop("snap_mod")
