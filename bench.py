@@ -145,7 +145,7 @@ def scaling_workload(
     return 2 * n_pages + int(n_pages * 0.1)
 
 
-def run_scaling_worker(cores: int, n_pages: int, trials: int = 3) -> None:
+def run_scaling_worker(cores: int, n_pages: int, trials: int = 5) -> None:
     import tempfile
 
     from geodiff_spark.session import get_spark
