@@ -1,0 +1,72 @@
+"""Physical-plan quality gates (the task brief's explain() discipline):
+filters push to the parquet scan, small sides broadcast, hot paths stay
+in WholeStageCodegen, the kNN point side never fans out."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_diff_scan_prunes_columns(spark):
+    """The diff only reads the 4 modeled columns, not the full orders
+    schema (column pruning through the snapshot derivation)."""
+    plan = plan_of(E.q_diff_changeset(spark, SF))
+    assert "o_orderdate" not in plan  # unused column pruned from scan
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scans and all("o_orderkey" in s for s in scans)
+
+
+def test_filter_pushdown_lineitem(spark):
+    plan = plan_of(E.q_lineitem_pricing(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_pip_broadcasts_polygons(spark):
+    plan = plan_of(E.q_pip(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the big customer side must NOT be the broadcast side
+    assert plan.count("BroadcastExchange") == 1
+
+
+def test_knn_broadcasts_queries_not_points(spark):
+    plan = plan_of(E.q_knn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastExchange") == 1
+    # Spark 4 pushes the row_number<=k limit into the shuffle (partial+final)
+    assert plan.count("WindowGroupLimit") == 2
+    # the k-ring explode fans out the QUERY side (its row carries qlat),
+    # never the big point side
+    gen_line = [l for l in plan.splitlines() if "Generate explode" in l]
+    assert gen_line and "qlat" in gen_line[0]
+
+
+def test_diff_whole_stage_codegen(spark):
+    """Mask/when projection logic compiles into codegen stages (no
+    interpreted projection, no Python in the hot path). AQE only shows
+    codegen annotations on the FINAL plan, so execute first."""
+    import re
+
+    df = E.q_diff_changeset(spark, SF)
+    df.collect()  # count() would plan a separate query; collect finalizes THIS one
+    plan = plan_of(df)
+    assert "isFinalPlan=true" in plan
+    # '*(N)' = whole-stage-codegen stage markers; the mask Project, the
+    # change Filter and the SMJ itself must all carry one
+    for op in ("Project", "Filter", "SortMergeJoin"):
+        assert re.search(rf"\*\(\d+\) {op}", plan), op
+    assert "ArrowEvalPython" not in plan  # pure-JVM pipeline
+
+
+def test_ann_bruteforce_broadcasts_queries(spark):
+    plan = plan_of(E.q_ann_bruteforce(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("BroadcastExchange") == 1
