@@ -19,6 +19,8 @@ from .changeset import (
 from .operators.apply import apply_changeset, apply_or_raise, apply_table
 from .operators.concat import concat_changesets, concat_tables, merge_pair
 from .operators.diff import diff_table, dump_table
+from .operators.rebase import rebase_changesets, rebase_table
+from .operators.skew import salted_agg, salted_join
 from .operators.invert import invert_changeset, invert_table
 from .session import get_spark
 
@@ -40,5 +42,9 @@ __all__ = [
     "invert_changeset",
     "invert_table",
     "merge_pair",
+    "rebase_changesets",
+    "rebase_table",
+    "salted_agg",
+    "salted_join",
     "summary_df",
 ]

@@ -1,0 +1,102 @@
+"""Explicit salted-key skew mitigation (BASELINE.json north_rule).
+
+AQE's skew-join splitting handles storage-level skew; these operators
+handle *algorithmic* skew — hot keys that would melt a single reducer no
+matter how AQE splits files. Two shapes:
+
+salted_agg
+    Two-phase aggregation: groupBy(key, salt) partial -> groupBy(key)
+    final. Turns one hot-key reducer into ``n_salts`` parallel partials.
+    Only algebraic aggregates (sum/count/min/max) compose; the helpers
+    take (partial, final) expression pairs.
+
+salted_join
+    Big-skewed × small join: the big side gets a random salt in
+    [0, n_salts); the small side is EXPLODED n_salts times so every
+    (key, salt) bucket finds its match. Memory cost: |small| × n_salts —
+    exactly the trade a cluster makes to kill a hot key. Used for hot
+    spatial cells (dense geographies) joining tile metadata.
+
+Spatial note: hot cells are the expected skew in this engine (cities vs
+ocean). ``salted_cell_counts`` is the canonical use — per-cell page
+counts at web scale where a few cells hold 10^8 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALTS = 16
+
+
+def with_salt(df: DataFrame, n_salts: int = DEFAULT_SALTS, col: str = "_salt") -> DataFrame:
+    """Uniform random salt column in [0, n_salts). Deterministic per row
+    is NOT required (any spread works); rand() keeps it cheap and
+    codegen'd."""
+    return df.withColumn(col, (F.rand() * n_salts).cast("int"))
+
+
+def explode_salts(df: DataFrame, n_salts: int = DEFAULT_SALTS, col: str = "_salt") -> DataFrame:
+    """Replicate every row once per salt value (the small-side move)."""
+    return df.withColumn(
+        col, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    partial_aggs: list[Column],
+    final_aggs: list[Column],
+    *,
+    n_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """Two-phase skew-proof aggregation.
+
+    ``partial_aggs`` run per (keys..., salt); ``final_aggs`` re-combine
+    per keys over the partial columns. Example (count + sum):
+
+        salted_agg(df, ["cell"],
+                   [F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")],
+                   [F.sum("n").alias("n"), F.sum("s").alias("s")])
+    """
+    partial = (
+        with_salt(df, n_salts)
+        .groupBy(*keys, "_salt")
+        .agg(*partial_aggs)
+    )
+    return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    *,
+    n_salts: int = DEFAULT_SALTS,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: salt the big side, explode the small side.
+    Output columns = big ∪ small minus the internal salt."""
+    b = with_salt(big, n_salts)
+    s = explode_salts(small, n_salts)
+    return b.join(s, on + ["_salt"], how).drop("_salt")
+
+
+def salted_cell_counts(
+    pages: DataFrame, *, res: int, n_salts: int = DEFAULT_SALTS,
+    lat_col: str = "lat", lon_col: str = "lon",
+) -> DataFrame:
+    """Canonical hot-cell rollup: per-cell page counts that survive a
+    city-sized hot cell. -> (cell, n)."""
+    from ..spatial.cells import cell_expr
+
+    cells = pages.withColumn("cell", cell_expr(F.col(lat_col), F.col(lon_col), res))
+    return salted_agg(
+        cells,
+        ["cell"],
+        [F.count(F.lit(1)).alias("n")],
+        [F.sum("n").alias("n")],
+        n_salts=n_salts,
+    )
