@@ -20,6 +20,8 @@ detectable). Skew note: a hot query cell duplicates only the QUERY side
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -63,3 +65,78 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select(query_id_col, point_id_col, "dist_sq", "rank")
     )
+
+
+def knn_join_exact(
+    points: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    res: int,
+    max_ring: int = 8,
+    query_id_col: str = "qid",
+    point_id_col: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    q_lat_col: str = "qlat",
+    q_lon_col: str = "qlon",
+) -> DataFrame:
+    """EXACT kNN by adaptive ring expansion.
+
+    Correctness bound: every point outside the k-ring of radius r is at
+    least r·cell_h degrees away (cell_h = 180/2^res, the smaller cell
+    side; worst case puts the query on its cell edge). So a query is
+    *settled* once it has k candidates whose k-th distance satisfies
+    dist_sq <= (r·cell_h)^2. Unsettled queries re-run with r doubled
+    (driver loop over a shrinking, broadcast-sized query set — at most
+    log2(max_ring)+1 rounds); stragglers past max_ring fall back to the
+    brute-force scan, which is exact by construction.
+    """
+    cell_h = 180.0 / (1 << res)
+    remaining = queries.select(query_id_col, q_lat_col, q_lon_col)
+    settled: list[DataFrame] = []
+    ring = 1
+    while ring <= max_ring:
+        got = knn_join(
+            points,
+            remaining,
+            k=k,
+            res=res,
+            ring=ring,
+            query_id_col=query_id_col,
+            point_id_col=point_id_col,
+            lat_col=lat_col,
+            lon_col=lon_col,
+            q_lat_col=q_lat_col,
+            q_lon_col=q_lon_col,
+        ).persist()
+        bound = (ring * cell_h) ** 2
+        stats = got.groupBy(query_id_col).agg(
+            F.count(F.lit(1)).alias("_n"), F.max("dist_sq").alias("_maxd")
+        )
+        ok_ids = stats.filter(
+            (F.col("_n") == k) & (F.col("_maxd") <= F.lit(bound))
+        ).select(query_id_col)
+        settled.append(got.join(F.broadcast(ok_ids), query_id_col, "left_semi"))
+        remaining = remaining.join(F.broadcast(ok_ids), query_id_col, "left_anti")
+        if remaining.isEmpty():
+            remaining = None
+            break
+        ring *= 2
+    if remaining is not None and not remaining.isEmpty():
+        # brute force the stragglers (sparse regions): exact top-k over
+        # the full point set for a broadcast-sized query remainder
+        q = F.broadcast(remaining)
+        cand = points.select(point_id_col, lat_col, lon_col).crossJoin(q)
+        dlat = F.col(lat_col) - F.col(q_lat_col)
+        dlon = F.col(lon_col) - F.col(q_lon_col)
+        cand = cand.withColumn("dist_sq", dlat * dlat + dlon * dlon)
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col("dist_sq").asc(), F.col(point_id_col).asc()
+        )
+        settled.append(
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, point_id_col, "dist_sq", "rank")
+        )
+    return functools.reduce(DataFrame.unionByName, settled)

@@ -186,3 +186,26 @@ def test_vector_features_pip_consistent(spark, pts):
     # every point is inside ≥1 rectangle (its own pixel's rect) unless it
     # sits exactly on a rect edge — with random floats that's measure zero
     assert joined.select("pid").distinct().count() == df.count()
+
+
+def test_knn_exact_adaptive(spark, pts):
+    """knn_join_exact == brute force for queries in dense AND sparse
+    regions (fixed-ring would miss the sparse ones)."""
+    from geodiff_spark.spatial.knn import knn_join_exact
+
+    df, pdf = pts
+    queries = spark.createDataFrame(
+        [(0, 10.0, 10.0), (1, 84.9, 178.9), (2, -84.9, -178.9)],
+        "qid long, qlat double, qlon double",
+    )
+    k = 7
+    got = knn_join_exact(
+        df, queries, k=k, res=7, max_ring=4, point_id_col="pid"
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["pid"]))
+    for qid, qlat, qlon in [(0, 10.0, 10.0), (1, 84.9, 178.9), (2, -84.9, -178.9)]:
+        d = (pdf["lat"] - qlat) ** 2 + (pdf["lon"] - qlon) ** 2
+        exp = [pid for _, pid in sorted(zip(d, pdf["pid"]))[:k]]
+        assert [pid for _, pid in sorted(by_q[qid])] == exp, f"qid {qid}"
