@@ -150,3 +150,29 @@ class GeoDiff:
 
     def make_copy(self, ds: Dataset) -> Dataset:
         return make_copy(ds)
+
+    # --- export / wire (GEODIFF_listChanges*, changeset files) ---------
+    def list_changes(self, changeset) -> str:
+        from .functions.json_export import changeset_json
+
+        return changeset_json(changeset)
+
+    def list_changes_summary_json(self, changeset) -> str:
+        from .functions.json_export import summary_json
+
+        return summary_json(changeset)
+
+    def conflicts_json(self, conflicts, infos) -> str:
+        from .functions.json_export import conflicts_json
+
+        return conflicts_json(conflicts, infos)
+
+    def write_changeset(self, changeset, path: str) -> None:
+        from .sources.changeset_io import write_changeset_file
+
+        write_changeset_file(changeset, path)
+
+    def read_changeset(self, spark, path: str, infos, schemas):
+        from .sources.changeset_io import read_changeset_file
+
+        return read_changeset_file(spark, path, infos, schemas)
