@@ -629,6 +629,146 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# round-1 widening: dump, k-ring, extraction, quality filter, salted rollup
+# ---------------------------------------------------------------------------
+
+def q_dump_orders(spark, sf_dir):
+    """dumpData: every row as an INSERT entry (sqlitedriver.cpp:1133-1170)."""
+    from geodiff_spark.operators.diff import dump_table
+
+    d = dump_table(_base_orders(spark, sf_dir), ORDERS_INFO)
+    return d.df.select(
+        "op",
+        F.col("new_o_orderkey").alias("okey"),
+        F.col("new_o_totalprice").alias("price"),
+        "old_bits",
+        "new_bits",
+    )
+
+
+_DUMP_SQL = f"""
+SELECT 'insert' AS op, o_orderkey AS okey, o_totalprice AS price,
+       CAST(0 AS BIGINT) AS old_bits, CAST(15 AS BIGINT) AS new_bits
+FROM ({_BASE_SQL})
+"""
+
+
+def q_kring(spark, sf_dir):
+    """k-ring expansion (kring_udf) for the nation query points at res 5,
+    k=2 — the cell-neighborhood kernel itself, oracle-checked."""
+    from geodiff_spark.spatial.cells import kring_udf
+
+    q = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .filter("n_nationkey < 5")
+        .select(
+            F.col("n_nationkey").alias("qid"),
+            F.expr(_QLAT).alias("qlat"),
+            F.expr(_QLON).alias("qlon"),
+        )
+    )
+    cells = q.withColumn("c", cell_udf(F.col("qlat"), F.col("qlon"), 5))
+    return cells.select(
+        "qid", F.explode(F.array_distinct(kring_udf(F.col("c"), 2))).alias("cell")
+    )
+
+
+def _kring_sql():
+    from geodiff_spark.spatial.cells import MODE_BIT, RES_SHIFT, _spread_sql
+
+    res, k = 5, 2
+    n = 1 << res
+    qx, qy = xy_sql(
+        _QLAT.replace("n_nationkey", "q.n_nationkey"),
+        _QLON.replace("n_nationkey", "q.n_nationkey"),
+        res,
+    )
+    head = MODE_BIT | (res << RES_SHIFT)
+    nx = f"((({qx}) + dx.x % {n} + {n}) % {n})"  # wrap (dx in [-k,k])
+    ny = f"LEAST(GREATEST(({qy}) + dy.y, 0), {n - 1})"  # clamp
+    cell = f"({head} | {_spread_sql(nx)} | ({_spread_sql(ny)} << 1))"
+    return f"""
+    SELECT DISTINCT q.n_nationkey AS qid, {cell} AS cell
+    FROM nation q,
+         (SELECT UNNEST(range(-{k}, {k + 1})) AS x) dx,
+         (SELECT UNNEST(range(-{k}, {k + 1})) AS y) dy
+    WHERE q.n_nationkey < 5
+    """
+
+
+def q_text_extract(spark, sf_dir):
+    """HTML→text extraction over synthesized html wrappers (byte-level
+    invariant; input_hint)."""
+    from geodiff_spark.functions.text_extract import extract_text_expr
+
+    d = _docs(spark, sf_dir).withColumn(
+        "html",
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>t</title></head><body><p>"),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "UTF-8",
+        ),
+    )
+    return d.select("doc_id", extract_text_expr(F.col("html")).alias("extracted"))
+
+
+_TEXT_EXTRACT_SQL = """
+SELECT doc_id,
+  trim(regexp_replace(regexp_replace(
+      '<html><head><title>t</title></head><body><p>' || text || '</p></body></html>',
+      '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS extracted
+FROM documents
+"""
+
+
+def q_quality_filter(spark, sf_dir):
+    """Composite training-data filter: english + quality threshold +
+    length band — the canonical corpus-cleaning selection."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.withColumn("q", TX.quality_expr(F.col("text")))
+        .withColumn("lang_pred", TX.lang_id_expr(F.col("text")))
+        .filter(
+            (F.col("lang_pred") == "en")
+            & (F.col("q") >= 0.36)
+            & (TX.token_count_expr(F.col("text")) >= 20)
+        )
+        .select("doc_id", "q")
+    )
+
+
+def _quality_filter_sql():
+    return f"""
+    SELECT doc_id, q FROM (
+      SELECT doc_id, {TX.quality_sql('text')} AS q,
+             {TX.lang_id_sql('text')} AS lang_pred,
+             {TX.token_count_sql('text')} AS n_tok
+      FROM documents
+    ) WHERE lang_pred = 'en' AND q >= 0.36 AND n_tok >= 20
+    """
+
+
+def q_salted_cell_counts(spark, sf_dir):
+    """Skew-proof two-phase rollup — must equal the plain group-by."""
+    from geodiff_spark.operators.skew import salted_agg
+    from geodiff_spark.spatial.cells import cell_expr
+
+    pts = _customers_geo(spark, sf_dir).withColumn(
+        "cell", cell_expr(F.col("lat"), F.col("lon"), _RES)
+    )
+    return salted_agg(
+        pts, ["cell"],
+        [F.count(F.lit(1)).alias("n"), F.sum("c_custkey").alias("key_sum")],
+        [F.sum("n").alias("n"), F.sum("key_sum").alias("key_sum")],
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -675,6 +815,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_dups_lsh": q_cosine_dups_lsh,
         "events_hourly": q_events_hourly,
         "lineitem_pricing": q_lineitem_pricing,
+        "dump": q_dump_orders,
+        "kring": q_kring,
+        "text_extract": q_text_extract,
+        "quality_filter": q_quality_filter,
+        "salted_cell_counts": q_salted_cell_counts,
     }
 
 
@@ -699,6 +844,11 @@ def oracle_sql() -> dict[str, str]:
         "cosine_dups": _cosine_dups_sql(),
         "events_hourly": _EVENTS_SQL,
         "lineitem_pricing": _LINEITEM_SQL,
+        "dump": _DUMP_SQL,
+        "kring": _kring_sql(),
+        "text_extract": _TEXT_EXTRACT_SQL,
+        "quality_filter": _quality_filter_sql(),
+        "salted_cell_counts": _cell_assign_sql(),
         # minhash_lsh / simhash / cosine_dups_lsh: engine-internal hashing,
         # rows-only check by design
     }
