@@ -259,7 +259,8 @@ def run_suite() -> None:
         "concat_apply", "rebase_final", "cell_assign", "cell_rollup", "pip",
         "knn", "raster", "text_features", "dedup_exact", "ngram_jaccard",
         "minhash_lsh", "simhash", "ann_bruteforce", "cosine_dups_lsh",
-        "events_hourly", "lineitem_pricing",
+        "events_hourly", "lineitem_pricing", "dump", "kring",
+        "text_extract", "quality_filter", "salted_cell_counts",
     ]
     qs = E.queries()
     times: dict[str, float] = {}
