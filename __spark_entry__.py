@@ -362,7 +362,7 @@ def q_cell_assign(spark, sf_dir):
 def _cell_assign_sql():
     cell = cell_sql(_LAT, _LON, _RES)
     return f"""
-    SELECT {cell} AS cell, COUNT(*) AS n, SUM(c_custkey) AS key_sum
+    SELECT {cell} AS cell, COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS key_sum
     FROM customer GROUP BY 1
     """
 
