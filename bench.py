@@ -273,7 +273,7 @@ def run_suite() -> None:
     # generation is setup, only read->diff->rollup is timed
     import tempfile
 
-    n_pages = int(os.environ.get("SPARK_GRAFT_PAGES_N", "200000"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_PAGES_N", "1000000"))
     bench_dir = os.environ.get("SPARK_GRAFT_BENCH_DIR") or tempfile.mkdtemp(
         prefix="bench_pages_"
     )
