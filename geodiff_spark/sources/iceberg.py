@@ -1,0 +1,107 @@
+"""Iceberg snapshot store — the production table layer.
+
+This sandbox ships no Iceberg runtime jars, so everything here is
+capability-gated: ``iceberg_available(spark)`` probes the classpath, and
+``IcebergSnapshotStore`` raises a clear error when the extension is
+absent (the parquet-bucketed ``SnapshotStore`` is the local fallback
+with the same join behavior).
+
+Production deployment (what the DDL below buys at 10^12 rows):
+  * `PARTITIONED BY (bucket(N, url))` → createChangeset's full-outer
+    diff plans as a storage-partitioned join: no shuffle of either
+    snapshot (`spark.sql.sources.v2.bucketing.enabled=true`, set by
+    geodiff_spark.session).
+  * snapshots/branches replace file copies (GEODIFF_makeCopySqlite) —
+    `make_branch` is a metadata operation.
+  * incremental reads (`option("start-snapshot-id", ...)`) stream a
+    committed changeset as CDC — the input to streaming.cdc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..changeset import ChangesetTable, TableInfo
+from ..operators.diff import diff_table
+
+ICEBERG_CONFS = {
+    "spark.sql.extensions": "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+    "spark.sql.catalog.local": "org.apache.iceberg.spark.SparkCatalog",
+    "spark.sql.catalog.local.type": "hadoop",
+}
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+class IcebergSnapshotStore:
+    """Same surface as sources.snapshots.SnapshotStore over Iceberg."""
+
+    def __init__(self, spark: SparkSession, catalog: str = "local", n_buckets: int = 64):
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "Iceberg runtime jars not on the classpath — use "
+                "sources.snapshots.SnapshotStore (bucketed parquet) locally, "
+                "or add iceberg-spark-runtime and the ICEBERG_CONFS to the "
+                "session builder"
+            )
+        self.spark = spark
+        self.catalog = catalog
+        self.n_buckets = n_buckets
+
+    def create(self, name: str, schema_ddl: str, pk: str) -> None:
+        self.spark.sql(
+            f"""CREATE TABLE IF NOT EXISTS {self.catalog}.{name} ({schema_ddl})
+            USING iceberg PARTITIONED BY (bucket({self.n_buckets}, {pk}))"""
+        )
+
+    def write(self, df: DataFrame, name: str, mode: str = "append") -> None:
+        df.writeTo(f"{self.catalog}.{name}").append() if mode == "append" else (
+            df.writeTo(f"{self.catalog}.{name}").overwritePartitions()
+        )
+
+    def read(self, name: str, snapshot_id: int | None = None) -> DataFrame:
+        r = self.spark.read
+        if snapshot_id is not None:
+            r = r.option("snapshot-id", str(snapshot_id))
+        return r.table(f"{self.catalog}.{name}")
+
+    def make_branch(self, name: str, branch: str) -> None:
+        """Zero-copy snapshot copy (GEODIFF_makeCopySqlite analogue)."""
+        self.spark.sql(f"ALTER TABLE {self.catalog}.{name} CREATE BRANCH {branch}")
+
+    def diff_snapshots(
+        self, name: str, info: TableInfo, from_snapshot: int, to_snapshot: int
+    ) -> ChangesetTable:
+        """Changeset between two snapshot ids of ONE table — the time-
+        travel diff the reference can't express."""
+        return diff_table(
+            self.read(name, from_snapshot), self.read(name, to_snapshot), info
+        )
+
+    def merge_apply(self, name: str, cs: ChangesetTable) -> None:
+        """applyChangeset as a native MERGE INTO (set semantics, one
+        atomic snapshot commit)."""
+        info = cs.info
+        pk = info.pk[0]
+        cs.df.createOrReplaceTempView("_cs_apply")
+        set_clauses = ", ".join(
+            f"t.{c} = CASE WHEN (s.new_bits >> {i}) & 1 = 1 THEN s.new_{c} ELSE t.{c} END"
+            for i, c in enumerate(info.columns)
+        )
+        insert_cols = ", ".join(info.columns)
+        insert_vals = ", ".join(f"s.new_{c}" for c in info.columns)
+        self.spark.sql(
+            f"""MERGE INTO {self.catalog}.{name} t
+            USING _cs_apply s
+            ON t.{pk} = coalesce(s.old_{pk}, s.new_{pk})
+            WHEN MATCHED AND s.op = 'delete' THEN DELETE
+            WHEN MATCHED AND s.op = 'update' THEN UPDATE SET {set_clauses}
+            WHEN NOT MATCHED AND s.op = 'insert' THEN
+              INSERT ({insert_cols}) VALUES ({insert_vals})"""
+        )

@@ -39,3 +39,15 @@ def test_bucketed_diff_no_shuffle(spark, tmp_path):
     finally:
         store.drop("snap_base")
         store.drop("snap_mod")
+
+
+def test_iceberg_gate(spark):
+    """No Iceberg jars in this sandbox: the probe says so and the store
+    raises a clear, actionable error."""
+    import pytest as _pytest
+
+    from geodiff_spark.sources.iceberg import IcebergSnapshotStore, iceberg_available
+
+    assert iceberg_available(spark) is False
+    with _pytest.raises(RuntimeError, match="Iceberg runtime jars"):
+        IcebergSnapshotStore(spark)
