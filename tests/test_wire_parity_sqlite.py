@@ -157,3 +157,43 @@ def test_sqlite_applies_our_changeset(spark, tmp_path):
         ("3", "edited", "3.5"),
         ("4", "new", "4.5"),
     ]
+
+
+def test_our_diff_equals_sqlite_session_changeset(spark, tmp_path):
+    """For identical logical edits, diff(base, mod) produces the same
+    entry set (ops, values, definedness masks) that SQLite's session
+    extension records — compared through one decoder."""
+    db = Db()
+    db.exec(DDL)
+    seed = [
+        "INSERT INTO t VALUES (1, 'a', 1.0, x'aa')",
+        "INSERT INTO t VALUES (2, 'b', 2.0, NULL)",
+        "INSERT INTO t VALUES (3, 'c', NULL, x'cc')",
+    ]
+    for sql in seed:
+        db.exec(sql)
+    raw = _session_changeset(db, [
+        "UPDATE t SET x = 9.5 WHERE fid = 1",          # single-col update
+        "UPDATE t SET name = 'b2', b = x'bb' WHERE fid = 2",  # multi-col
+        "DELETE FROM t WHERE fid = 3",
+        "INSERT INTO t VALUES (5, NULL, 5.0, NULL)",   # insert with NULLs
+    ])
+    path = tmp_path / "sess.diff"
+    path.write_bytes(raw)
+    schemas = {"t": [f.dataType for f in spark.createDataFrame([], SCHEMA).schema.fields]}
+    theirs = read_changeset_file(spark, str(path), {"t": T}, schemas)["t"]
+
+    base = spark.createDataFrame(
+        [(1, "a", 1.0, b"\xaa"), (2, "b", 2.0, None), (3, "c", None, b"\xcc")],
+        SCHEMA,
+    )
+    mod = spark.createDataFrame(
+        [(1, "a", 9.5, b"\xaa"), (2, "b2", 2.0, b"\xbb"), (5, None, 5.0, None)],
+        SCHEMA,
+    )
+    ours = diff_table(base, mod, T)
+
+    def canon(df):
+        return sorted(map(repr, df.select(sorted(df.columns)).collect()))
+
+    assert canon(ours.df) == canon(theirs.df)
