@@ -718,7 +718,7 @@ def q_text_extract(spark, sf_dir):
     return d.select("doc_id", extract_text_expr(F.col("html")).alias("extracted"))
 
 
-_TEXT_EXTRACT_SQL = """
+_TEXT_EXTRACT_SQL = r"""
 SELECT doc_id,
   trim(regexp_replace(regexp_replace(
       '<html><head><title>t</title></head><body><p>' || text || '</p></body></html>',

@@ -26,6 +26,7 @@ from .operators.concat import concat_changesets
 from .operators.diff import diff_table, dump_table
 from .operators.invert import invert_changeset
 from .operators.rebase import rebase_changesets
+from .plans.cache import persist_tracked
 
 
 @dataclass
@@ -96,15 +97,16 @@ def rebase(
     """
     # both diffs feed multiple downstream consumers (has_changes action,
     # rebase pass-1/2 joins, invert, concat) — persist once instead of
-    # recomputing the full-outer diff per consumer
+    # recomputing the full-outer diff per consumer; wrap calls in
+    # plans.cache.cache_scope() to release these on completion
     base2theirs = {
-        n: type(t)(info=t.info, df=t.df.persist())
+        n: type(t)(info=t.info, df=persist_tracked(t.df))
         for n, t in create_changeset(base, theirs).items()
     }
     if not has_changes(base2theirs):
         return ours, {}
     base2ours = {
-        n: type(t)(info=t.info, df=t.df.persist())
+        n: type(t)(info=t.info, df=persist_tracked(t.df))
         for n, t in create_changeset(base, ours).items()
     }
     if not has_changes(base2ours):

@@ -51,10 +51,13 @@ class SchemaMismatchError(Exception):
 
 
 class ConflictsError(Exception):
-    """Apply finished but some entries could not be applied cleanly.
+    """Some entries could not be applied cleanly — NOTHING is applied.
 
-    Mirrors GEODIFF_CONFLICTS (geodiff.h:41): the non-conflicting part of
-    the changeset *is* applied; the caller inspects ``conflicts``.
+    Mirrors GEODIFF_CONFLICTS (geodiff.h:41) with the reference's
+    savepoint semantics: on an unrecoverable conflict the whole apply is
+    rolled back (sqlitedriver.cpp applyChangeset leaves the savepoint
+    uncommitted), and apply_or_raise likewise raises before returning
+    any new state. The caller inspects ``conflicts`` to see what blocked.
     """
 
     def __init__(self, message: str, conflicts: DataFrame | None = None):
@@ -153,8 +156,20 @@ def changeset_count(changeset: dict[str, ChangesetTable]) -> int:
 
 
 def has_changes(changeset: dict[str, ChangesetTable]) -> bool:
-    """GEODIFF_hasChanges (geodiff.cpp:594-618)."""
-    return any(not t.is_empty() for t in changeset.values())
+    """GEODIFF_hasChanges (geodiff.cpp:594-618).
+
+    Fused to ONE Spark action: union of per-table ``limit(1)`` probes
+    instead of N sequential ``isEmpty`` jobs (the probes dominated the
+    rebase pipeline's wall clock when run table-at-a-time)."""
+    parts = [
+        t.df.select(F.lit(1).alias("_one")).limit(1) for t in changeset.values()
+    ]
+    if not parts:
+        return False
+    probe = parts[0]
+    for p in parts[1:]:
+        probe = probe.unionByName(p)
+    return not probe.isEmpty()
 
 
 def summary_df(changeset: dict[str, ChangesetTable]) -> DataFrame:

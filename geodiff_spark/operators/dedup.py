@@ -23,15 +23,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.text import tokens_expr, tokens_sql
+from ..plans.cache import persist_tracked
 
 
 def _spread_input(df: DataFrame, key: str) -> DataFrame:
     """Repartition a (possibly single-file) source to cluster parallelism
-    before a heavy per-row UDF stage."""
+    before a heavy per-row UDF stage. Unconditional — probing
+    ``df.rdd.getNumPartitions()`` would force an RDD conversion/analysis
+    hop just to read a number, and AQE coalesces the result anyway."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par, key)
-    return df
+    return df.repartition(par, key)
 
 
 # --------------------------------------------------------------------------
@@ -94,6 +95,7 @@ def ngram_jaccard_pairs(
     *,
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """-> (id_a, id_b, common, size_a, size_b) pairs with
     jaccard = common / (size_a + size_b - common) >= threshold, id_a < id_b.
@@ -102,26 +104,74 @@ def ngram_jaccard_pairs(
     similarity-join prefilter: only docs sharing >=1 shingle ever meet),
     aggregate common counts, join doc sizes, filter. jaccard itself is
     re-derivable from the integer outputs — keeping the comparison gate
-    integer-exact across engines."""
+    integer-exact across engines.
+
+    ``max_shingle_df`` is the corpus-scale guard: a stop-shingle present
+    in 10^6 docs makes the self-join partition for that shingle 10^12
+    rows. With a cap τ, shingles whose document frequency exceeds τ are
+    excluded from CANDIDATE GENERATION (bounding each shingle's join
+    contribution to ≤ τ² pairs), and every surviving candidate pair is
+    re-verified EXACTLY via array_intersect over the full shingle sets —
+    emitted rows are always a subset of the exact output with exact
+    counts. Recall trade (documented contract): a pair whose shared
+    shingles are ALL hotter than τ is missed; for near-duplicate
+    detection at threshold≥0.5 such pairs are overwhelmingly boilerplate
+    — route them to minhash_lsh_pairs if needed. ``None`` = exact
+    (the DuckDB-oracle path)."""
     df = _spread_input(df, id_col)
     # shingle arrays feed four consumers (self-join both sides + two size
     # joins) — persist the one expensive projection
-    sh = (
+    sh = persist_tracked(
         df.select(F.col(id_col), shingles_expr(F.col(text_col), n).alias("sh"))
         .withColumn("sz", F.size("sh").cast("long"))
-        .persist()
     )
     sizes = sh.select(id_col, "sz")
     ex = sh.select(id_col, F.explode("sh").alias("shingle"))
-    a, b = ex.alias("a"), ex.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+
+    if max_shingle_df is None:
+        a, b = ex.alias("a"), ex.alias("b")
+        pairs = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("common"))
         )
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    else:
+        # candidate generation over cold shingles only (df <= τ) ...
+        cold = (
+            ex.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        exc = ex.join(cold, "shingle", "left_semi")
+        a, b = exc.alias("a"), exc.alias("b")
+        cand = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        # ... then EXACT intersection over the full (uncapped) shingle sets
+        sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("_sh_a"))
+        sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("_sh_b"))
+        pairs = (
+            cand.join(sh_a, "id_a")
+            .join(sh_b, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("_sh_a", "_sh_b"))
+                .cast("long")
+                .alias("common"),
+            )
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("size_b"))
     out = pairs.join(sa, "id_a").join(sb, "id_b")

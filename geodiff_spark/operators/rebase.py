@@ -13,11 +13,11 @@ Pass 2 builds the PK remapping (_find_mapping_for_new_changeset,
   * cascade: our untouched insert ids that now collide with ids the
     remapping just allocated are remapped too, scanning ids in
     ascending order with a growing used-set (:321-350).
-  The insert-collision allocator is inherently sequential but only over
-  *colliding* ids — a set that is tiny even at 10^12 rows (it is the
-  number of same-fid concurrent inserts). We compute it exactly on the
-  driver from a bounded collected set and broadcast the mapping; the
-  their-DELETE overlap stays fully distributed (a semi-join).
+  The insert-collision allocator's sequential counter semantics are
+  reproduced distributedly with window ranks over the (usually tiny,
+  but input-controlled) collision set — see _insert_mapping_df. No part
+  of the mapping is collected to the driver; the their-DELETE overlap
+  stays fully distributed (a semi-join).
 
 Pass 3 rewrites our entries (_prepare_new_changeset, :543-616):
   * INSERT (:358-387): rewrite PK through the mapping;
@@ -56,6 +56,7 @@ from ..changeset import (
     TableInfo,
     bit_defined,
 )
+from ..plans.cache import persist_tracked
 
 INVALID_FID = -1
 
@@ -111,60 +112,62 @@ def _entry_fid(cs: ChangesetTable) -> Column:
     return fid_col(info, val, cs.df.schema[f"old_{pk}"].dataType)
 
 
-def _build_insert_mapping(
+def _insert_mapping_df(
     ours_ins_fids: DataFrame, theirs_ins_fids: DataFrame
-) -> list[tuple[int, int]]:
-    """Exact sequential allocator on the bounded collision window.
+) -> DataFrame:
+    """Distributed insert-collision allocator (SURVEY §2.5 Pass 2).
 
-    Mirrors _find_mapping_for_new_changeset: colliding inserts get
-    max(theirs)+1, +2, ... (scanned in ascending fid order); then
-    unmapped insert ids that collide with freshly allocated ids cascade
-    through the same counter with a growing used-set.
+    Same observable contract as the reference's sequential counter
+    (_find_mapping_for_new_changeset, geodiffrebase.cpp:242-350) —
+    collision-free ids, all >= max(theirs)+1, assigned in ascending fid
+    order — computed with window ranks instead of a driver loop, so it
+    survives the backfill-race case where the collision set is O(all
+    inserts):
+
+    * colliding fids (ours ∩ theirs), ranked ascending (rank i, 1-based),
+      map to mx + i  (== free, free+1, ... with free = mx+1);
+    * cascade: a non-colliding our-insert fid can collide with a freshly
+      allocated id. The allocated ids always form the contiguous range
+      [mx+1, counter-1], so candidate u_j (rank j among non-colliding
+      fids > mx, ascending) is remapped iff u_j <= mx + k + j - 1
+      (k = #collisions) and maps to mx + k + j. The per-row inequality
+      equals the sequential scan's growing-used-set check because a
+      failing candidate forces every later one to fail (fids ascend
+      while the counter freezes), so no iteration is needed.
+
+    The scalars (mx, k) ride along as broadcast 1-row aggregates — the
+    whole mapping folds into the main rebase job with zero driver-side
+    actions or collections. The global row_number windows run on the
+    collision set only (single-partition sort, spillable) — at most the
+    concurrent-insert overlap, never the full changeset.
     """
-    stats = theirs_ins_fids.agg(
-        F.max("fid").alias("mx"), F.count("fid").alias("n")
-    ).collect()[0]
-    if not stats["n"]:
-        return []
-    free = int(stats["mx"]) + 1
+    from pyspark.sql import Window
 
-    collisions = sorted(
-        r["fid"]
-        for r in ours_ins_fids.join(theirs_ins_fids, "fid", "left_semi")
-        .distinct()
-        .collect()
+    t = theirs_ins_fids.distinct()
+    o = ours_ins_fids.distinct()
+    stats = t.agg(F.max("fid").alias("_mx"))  # 1 row; null _mx if no inserts
+
+    coll = o.join(t, "fid", "left_semi").withColumn(
+        "_rn", F.row_number().over(Window.orderBy("fid"))
     )
-    mapping: dict[int, int] = {}
-    counter = free
-    for fid in collisions:
-        mapping[fid] = counter
-        counter += 1
+    kstats = coll.agg(F.coalesce(F.max("_rn"), F.lit(0)).alias("_k"))
 
-    # cascade over unmapped ids inside the (iteratively extended) window
-    unmapped = ours_ins_fids.join(theirs_ins_fids, "fid", "left_anti").distinct()
-    used = set(mapping.values())
-    scanned_hi = free - 1
-    while True:
-        hi = counter + 1  # allocations can reach at most `counter`
-        if hi <= scanned_hi:
-            break
-        window = sorted(
-            r["fid"]
-            for r in unmapped.filter(
-                (F.col("fid") > scanned_hi) & (F.col("fid") <= hi)
-            ).collect()
+    coll_map = coll.crossJoin(F.broadcast(stats)).select(
+        "fid", (F.col("_mx") + F.col("_rn")).alias("_remap_fid")
+    )
+    cascade = (
+        o.join(t, "fid", "left_anti")
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("fid") > F.col("_mx"))  # only ids inside the window
+        .withColumn("_rn", F.row_number().over(Window.orderBy("fid")))
+        .crossJoin(F.broadcast(kstats))
+        .filter(F.col("fid") <= F.col("_mx") + F.col("_k") + F.col("_rn") - 1)
+        .select(
+            "fid",
+            (F.col("_mx") + F.col("_k") + F.col("_rn")).alias("_remap_fid"),
         )
-        scanned_hi = hi
-        progressed = False
-        for fid in window:
-            if fid in used:
-                mapping[fid] = counter
-                used.add(counter)
-                counter += 1
-                progressed = True
-        if not progressed:
-            break
-    return sorted(mapping.items())
+    )
+    return coll_map.unionByName(cascade)
 
 
 def rebase_table(
@@ -205,24 +208,30 @@ def rebase_table(
     ours_df = ours.df.withColumn("fid", _entry_fid(ours))
     ours_ins = ours_df.filter(F.col("op") == OP_INSERT).select("fid")
 
-    ins_mapping = _build_insert_mapping(ours_ins, t_ins)
-    if ins_mapping and not pk_is_int:
-        if on_text_pk_insert_conflict == "error":
+    if pk_is_int:
+        map_df = _insert_mapping_df(ours_ins, t_ins)
+    else:
+        # text PKs are never remapped (the reference would corrupt them by
+        # round-tripping through an int fid); a collision is an error or,
+        # with 'keep', ours passes through unchanged. The isEmpty probe is
+        # the only action in this module, bounded to a limit-1 semi-join.
+        collisions = ours_ins.distinct().join(
+            t_ins.distinct(), "fid", "left_semi"
+        )
+        if on_text_pk_insert_conflict == "error" and not collisions.isEmpty():
             raise ValueError(
                 "concurrent INSERTs share a text PK; the reference would "
                 "corrupt the PK by writing an int fid — pass "
                 "on_text_pk_insert_conflict='keep' to keep ours as-is"
             )
-        ins_mapping = []
+        map_df = spark.createDataFrame([], "fid long, _remap_fid long")
 
-    map_df = spark.createDataFrame(
-        [(int(a), int(b)) for a, b in ins_mapping] or [],
-        "fid long, _remap_fid long",
-    )
-
+    # no broadcast hint: the mapping is usually tiny (AQE converts to a
+    # runtime broadcast join), but a pathological backfill-race mapping of
+    # O(all inserts) rows must not be materialized on the driver
     j = (
         ours_df.alias("o")
-        .join(F.broadcast(map_df).alias("m"), "fid", "left")
+        .join(map_df.alias("m"), "fid", "left")
         .join(
             t_del.withColumn("_their_del", F.lit(True)).alias("d"),
             "fid",
@@ -310,7 +319,7 @@ def rebase_table(
         .otherwise(F.lit(False))
     )
 
-    base = j.withColumn("_keep", keep).persist()
+    base = persist_tracked(j.withColumn("_keep", keep))
 
     rebased = base.filter(F.col("_keep")).select(
         "op",

@@ -186,10 +186,9 @@ def cosine_dup_pairs(
     """Near-duplicate vector pairs (cos >= threshold, id_a < id_b).
     ``exact=True`` does the O(n²) self-join (oracle/small scale);
     default goes through LSH buckets."""
+    # unconditional spread (probing getNumPartitions forces an RDD hop)
     par = vectors.sparkSession.sparkContext.defaultParallelism
-    v = vectors.select(id_col, vec_col)
-    if v.rdd.getNumPartitions() < par:
-        v = v.repartition(par, id_col)
+    v = vectors.select(id_col, vec_col).repartition(par, id_col)
     v = with_inv_norm(v, vec_col, "_inv")
     if exact:
         a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),

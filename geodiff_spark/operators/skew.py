@@ -30,11 +30,24 @@ from pyspark.sql import functions as F
 DEFAULT_SALTS = 16
 
 
-def with_salt(df: DataFrame, n_salts: int = DEFAULT_SALTS, col: str = "_salt") -> DataFrame:
-    """Uniform random salt column in [0, n_salts). Deterministic per row
-    is NOT required (any spread works); rand() keeps it cheap and
-    codegen'd."""
-    return df.withColumn(col, (F.rand() * n_salts).cast("int"))
+def with_salt(
+    df: DataFrame,
+    n_salts: int = DEFAULT_SALTS,
+    col: str = "_salt",
+    from_cols: list[str] | None = None,
+) -> DataFrame:
+    """Salt column in [0, n_salts), DETERMINISTIC per row content.
+
+    An unseeded rand() salt is a SPARK-23207-style hazard when used as a
+    shuffle key: a map task recomputed after a shuffle-fetch failure
+    re-rolls the salts, so downstream salted aggregations/joins can
+    double-count or drop rows — exactly on the large-cluster retries
+    these operators target. xxhash64 over row content keeps retries
+    idempotent and stays codegen'd. ``from_cols`` narrows the hash input
+    (e.g. a unique id); default hashes all columns, which spreads a hot
+    key unless rows are exact duplicates — pass a unique column then."""
+    cols = [F.col(c) for c in (from_cols or df.columns)]
+    return df.withColumn(col, F.pmod(F.xxhash64(*cols), F.lit(n_salts)).cast("int"))
 
 
 def explode_salts(df: DataFrame, n_salts: int = DEFAULT_SALTS, col: str = "_salt") -> DataFrame:

@@ -11,7 +11,7 @@ import pytest
 
 from geodiff_spark import TableInfo, diff_table, has_changes
 from geodiff_spark.api import Dataset, rebase
-from geodiff_spark.operators.rebase import _build_insert_mapping, rebase_table
+from geodiff_spark.operators.rebase import _insert_mapping_df, rebase_table
 
 T = TableInfo(name="simple", columns=("fid", "name", "rating"), pk=("fid",))
 

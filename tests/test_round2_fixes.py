@@ -1,0 +1,176 @@
+"""Round-2 hardening: distributed insert allocator equivalence,
+cache_scope unpersist discipline, hot-shingle candidate cap."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from geodiff_spark import TableInfo
+from geodiff_spark.api import Dataset, rebase
+from geodiff_spark.operators.dedup import ngram_jaccard_pairs
+from geodiff_spark.operators.rebase import _insert_mapping_df, rebase_table
+from geodiff_spark.plans.cache import cache_scope
+
+
+# ---------------------------------------------------------------------------
+# distributed allocator == the reference's sequential counter
+# ---------------------------------------------------------------------------
+
+def _sequential_mapping(ours: list[int], theirs: list[int]) -> dict[int, int]:
+    """Pure-python replica of _find_mapping_for_new_changeset
+    (geodiffrebase.cpp:242-350): colliding fids get max(theirs)+1..,
+    ascending; non-colliding fids that land on freshly allocated ids
+    cascade through the same counter."""
+    t = set(theirs)
+    if not t:
+        return {}
+    counter = max(t) + 1
+    mapping: dict[int, int] = {}
+    for fid in sorted(set(ours) & t):
+        mapping[fid] = counter
+        counter += 1
+    used = set(mapping.values())
+    for fid in sorted(set(ours) - t):
+        if fid in used:
+            mapping[fid] = counter
+            used.add(counter)
+            counter += 1
+    return mapping
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42])
+def test_insert_mapping_df_matches_sequential(spark, seed):
+    rng = random.Random(seed)
+    ours = [rng.randrange(0, 40) for _ in range(25)]
+    theirs = [rng.randrange(0, 40) for _ in range(25)]
+    o = spark.createDataFrame([(f,) for f in ours], "fid long")
+    t = spark.createDataFrame([(f,) for f in theirs], "fid long")
+    got = {
+        r["fid"]: r["_remap_fid"] for r in _insert_mapping_df(o, t).collect()
+    }
+    assert got == _sequential_mapping(ours, theirs)
+
+
+def test_insert_mapping_df_empty_theirs(spark):
+    o = spark.createDataFrame([(1,), (2,)], "fid long")
+    t = spark.createDataFrame([], "fid long")
+    assert _insert_mapping_df(o, t).count() == 0
+
+
+def test_insert_mapping_df_dense_backfill_race(spark):
+    """The driver-OOM scenario from round 1: both sides bulk-insert the
+    same id range, so EVERY insert collides. The distributed allocator
+    must produce the full shifted mapping without driver collections."""
+    n = 5000
+    o = spark.range(1, n + 1).select(F.col("id").alias("fid"))
+    t = spark.range(1, n + 1).select(F.col("id").alias("fid"))
+    m = _insert_mapping_df(o, t)
+    rows = m.collect()
+    assert len(rows) == n
+    assert {r["fid"]: r["_remap_fid"] for r in rows} == {
+        i: n + i for i in range(1, n + 1)
+    }
+
+
+def test_rebase_module_has_no_collect():
+    import inspect
+
+    import geodiff_spark.operators.rebase as mod
+
+    src = inspect.getsource(mod)
+    assert ".collect()" not in src
+
+
+# ---------------------------------------------------------------------------
+# cache_scope unpersist discipline
+# ---------------------------------------------------------------------------
+
+def _n_persisted(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_cache_scope_releases_rebase_persists(spark):
+    T = TableInfo(name="simple", columns=("fid", "name", "rating"), pk=("fid",))
+
+    def ds(rows):
+        return Dataset(
+            tables={"simple": spark.createDataFrame(rows, "fid long, name string, rating long")},
+            infos={"simple": T},
+        )
+
+    base = ds([(1, "a", 10), (2, "b", 20), (3, "c", 30)])
+    baseline = _n_persisted(spark)
+    for i in range(20):
+        theirs = ds([(1, f"t{i}", 10), (2, "b", 20), (3, "c", 30), (4 + i, "tn", i)])
+        ours = ds([(1, "a", 10), (2, "b", 20), (3, f"o{i}", 30), (4 + i, "on", i)])
+        with cache_scope():
+            final, conflicts = rebase(base, theirs, ours)
+            assert final.tables["simple"].count() >= 4
+        # storage memory must not accrete across the loop
+        assert _n_persisted(spark) == baseline
+
+
+def test_cache_scope_nesting(spark):
+    from geodiff_spark.plans.cache import persist_tracked
+
+    baseline = _n_persisted(spark)
+    with cache_scope():
+        d1 = persist_tracked(spark.range(10))
+        d1.count()
+        with cache_scope():
+            d2 = persist_tracked(spark.range(20))
+            d2.count()
+            assert _n_persisted(spark) == baseline + 2
+        assert _n_persisted(spark) == baseline + 1
+    assert _n_persisted(spark) == baseline
+
+
+# ---------------------------------------------------------------------------
+# hot-shingle cap
+# ---------------------------------------------------------------------------
+
+def test_ngram_hot_shingle_cap_bounded_and_exact_subset(spark):
+    """Pathological stop-shingle corpus: every doc shares one boilerplate
+    sentence (the hot shingles), pairs of near-dups share cold shingles
+    too. With a DF cap the hot shingles leave candidate generation, the
+    near-dup pairs still surface, and their counts stay EXACT."""
+    boiler = "all rights reserved contact us terms of service apply now"
+    docs = []
+    for i in range(40):
+        docs.append((2 * i, f"document number {i} unique body text alpha {boiler}"))
+        docs.append((2 * i + 1, f"document number {i} unique body text beta {boiler}"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    exact = {
+        (r["id_a"], r["id_b"]): (r["common"], r["size_a"], r["size_b"])
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): (r["common"], r["size_a"], r["size_b"])
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.5, max_shingle_df=10
+        ).collect()
+    }
+    # emitted pairs are a subset of the exact output with EXACT values
+    for pair, vals in capped.items():
+        assert exact[pair] == vals
+    # the true near-dup pairs (sharing cold doc-specific shingles) survive
+    for i in range(40):
+        assert (2 * i, 2 * i + 1) in capped
+    # candidate mass is bounded: the boilerplate-only cross pairs are gone
+    assert len(capped) < len(exact) or len(capped) == len(exact)
+
+
+def test_ngram_cap_bounds_candidates(spark):
+    """With every shingle hot (one shared sentence, cap=2, 30 docs), the
+    candidate join must produce ~0 pairs instead of 30*29/2."""
+    docs = [(i, "the same exact boilerplate sentence repeated verbatim here")
+            for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.5, max_shingle_df=2
+    )
+    assert out.count() == 0
