@@ -524,16 +524,36 @@ def _ngram_jaccard_oracle():
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """Rows-only check (LSH banding is engine-internal hashing)."""
+    """Hard-verified: the DuckDB oracle recomputes the FNV-1a/splitmix64
+    minhash signatures and replays the band-slice collision join."""
     return minhash_lsh_pairs(
         _docs_doubled(spark, sf_dir), "doc_id", "text",
         num_perm=64, bands=16, threshold=0.9,
     )
 
 
+def _minhash_lsh_oracle():
+    from geodiff_spark.functions.hash_sql import minhash_lsh_oracle_sql
+
+    return minhash_lsh_oracle_sql(
+        _DOCS_DOUBLED_SQL, "doc_id", "text",
+        num_perm=64, bands=16, shingle_n=3, threshold=0.9,
+    )
+
+
 def q_simhash(spark, sf_dir):
-    """Rows-only check."""
-    return simhash_pairs(_docs_doubled(spark, sf_dir), "doc_id", "text", max_hamming=2)
+    """Hard-verified: chunks=4 pigeonhole candidates are COMPLETE for
+    hamming<=3, so the output equals all-pairs hamming<=2 over simhashes
+    the oracle recomputes from token FNV votes."""
+    return simhash_pairs(
+        _docs_doubled(spark, sf_dir), "doc_id", "text", max_hamming=2
+    ).withColumn("hamming", F.col("hamming").cast("long"))
+
+
+def _simhash_oracle():
+    from geodiff_spark.functions.hash_sql import simhash_oracle_sql
+
+    return simhash_oracle_sql(_DOCS_DOUBLED_SQL, "doc_id", "text", max_hamming=2)
 
 
 def q_ann_bruteforce(spark, sf_dir):
@@ -572,12 +592,23 @@ def _cosine_dups_sql():
 
 
 def q_cosine_dups_lsh(spark, sf_dir):
-    """Rows-only (approximate recall by construction)."""
+    """Hard-verified: splitmix64-derived hyperplanes + sequential-fold
+    projections are bit-identical in the DuckDB oracle, which replays
+    the (band, bucket) collision join and the reciprocal-norm cosine."""
     # wide buckets (8 bits = 256 buckets/band): candidate volume stays
     # ~|pairs in same 256th| x 4 bands instead of quadratic blowup
     return cosine_dup_pairs(
         _emb(spark, sf_dir), threshold=0.4, dim=64, exact=False,
         n_planes=32, bands=4,
+    )
+
+
+def _cosine_dups_lsh_oracle():
+    from geodiff_spark.functions.hash_sql import cosine_lsh_oracle_sql
+
+    return cosine_lsh_oracle_sql(
+        "SELECT vec_id, embedding FROM embeddings", "vec_id", "embedding",
+        dim=64, threshold=0.4, n_planes=32, bands=4, seed=13,
     )
 
 
@@ -849,6 +880,10 @@ def oracle_sql() -> dict[str, str]:
         "text_extract": _TEXT_EXTRACT_SQL,
         "quality_filter": _quality_filter_sql(),
         "salted_cell_counts": _cell_assign_sql(),
-        # minhash_lsh / simhash / cosine_dups_lsh: engine-internal hashing,
-        # rows-only check by design
+        # round 2: the LSH family is hard-verified too — the oracles
+        # recompute FNV-1a/splitmix64 signatures, simhashes, and
+        # hyperplane buckets from scratch in DuckDB (functions/hash_sql.py)
+        "minhash_lsh": _minhash_lsh_oracle(),
+        "simhash": _simhash_oracle(),
+        "cosine_dups_lsh": _cosine_dups_lsh_oracle(),
     }

@@ -359,13 +359,22 @@ def minhash_lsh_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias(
-                        "bucket"
+                    F.slice("sig", b * rows_per_band + 1, rows_per_band).alias(
+                        "sl"
                     ),
                 ),
             )
         ).alias("bb"),
-    ).select(id_col, "sig", "bb.band", "bb.bucket")
+    ).select(
+        id_col,
+        "sig",
+        "bb.band",
+        # murmur bucket = compact shuffle key; the slice equality below
+        # removes its collision false-positives, making the output the
+        # EXACT "some band slice equal" set (DuckDB-oracle reproducible)
+        F.hash("bb.sl").alias("bucket"),
+        F.col("bb.sl").alias("sl"),
+    )
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -373,6 +382,7 @@ def minhash_lsh_pairs(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.sl") == F.col("b.sl"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(

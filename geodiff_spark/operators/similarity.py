@@ -94,8 +94,22 @@ def ann_bruteforce(
 # --------------------------------------------------------------------------
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+    """Deterministic splitmix64-derived hyperplanes, uniform in [-1, 1):
+    plane[p][d] = (splitmix64(seed*GOLD + p*dim + d) >> 11) * 2^-52 - 1.
+
+    Reproducible bit-for-bit in the DuckDB oracle
+    (functions.hash_sql.cosine_lsh_oracle_sql) — integer-derived doubles
+    scaled by powers of two are exact in both engines. Uniform (not
+    gaussian) directions keep sign-LSH sound while avoiding libm
+    (Box-Muller cos/log) cross-engine drift."""
+    from .dedup import _splitmix64
+
+    base = np.uint64((seed * 0x9E3779B97F4A7C15) % (1 << 64))
+    idx = np.arange(n_planes * dim, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = _splitmix64(base + idx)
+    vals = (h >> np.uint64(11)).astype(np.float64) * 2.0**-52 - 1.0
+    return vals.reshape(n_planes, dim)
 
 
 def sign_signature_udf(dim: int, n_planes: int, seed: int = 13):
@@ -103,8 +117,13 @@ def sign_signature_udf(dim: int, n_planes: int, seed: int = 13):
 
     @F.pandas_udf(T.LongType())
     def _sig(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy())  # (batch, dim) — Arrow list -> ndarray
-        proj = m.astype(np.float64) @ planes.T  # vectorized matmul
+        m = np.stack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
+        # sequential left fold over dims — BIT-identical to the oracle's
+        # list_reduce (BLAS matmul would reorder the summation and flip
+        # signs of near-zero projections across engines)
+        proj = np.zeros((m.shape[0], n_planes), dtype=np.float64)
+        for d in range(dim):
+            proj += m[:, d : d + 1] * planes[:, d][None, :]
         bits = (proj > 0).astype(np.uint64)
         weights = np.uint64(1) << np.arange(n_planes, dtype=np.uint64)
         return pd.Series((bits * weights[None, :]).sum(axis=1).astype(np.int64))
