@@ -94,6 +94,13 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("base"); r.add_argument("theirs"); r.add_argument("ours")
     r.add_argument("out"); r.add_argument("--conflicts", default=None)
 
+    # changeset-file flavor: rebase OUR changeset over THEIRS without any
+    # snapshot/db (GEODIFF_createRebasedChangesetEx, geodiff-cli.cpp:417-450)
+    rd = sub.add_parser("rebase-diff")
+    rd.add_argument("theirs_cs"); rd.add_argument("ours_cs"); rd.add_argument("out")
+    rd.add_argument("--conflicts", default=None)
+    rd.add_argument("--binary", action="store_true")
+
     for name in ("as-json", "as-summary"):
         x = sub.add_parser(name)
         x.add_argument("cs")
@@ -167,6 +174,23 @@ def _dispatch(spark: SparkSession, args) -> int:
             with open(args.conflicts, "w") as f:
                 f.write(conflicts_json(conflicts, {info.name: info}))
         print(f"rebase done, conflicts: {n}", file=sys.stderr)
+        return 0
+    if args.cmd == "rebase-diff":
+        from .functions.json_export import conflicts_json
+        from .operators.rebase import rebase_table
+
+        theirs = _load_cs(spark, args.theirs_cs, args)
+        ours = _load_cs(spark, args.ours_cs, args)
+        rebased, conflicts = rebase_table(ours, theirs)
+        _write_cs(rebased, args.out, args)
+        n = conflicts.count()
+        if args.conflicts:
+            with open(args.conflicts, "w") as f:
+                f.write(conflicts_json(
+                    {rebased.info.name: conflicts},
+                    {rebased.info.name: rebased.info},
+                ))
+        print(f"rebase-diff done, conflicts: {n}", file=sys.stderr)
         return 0
     if args.cmd == "as-json":
         cs = _load_cs(spark, args.cs, args)

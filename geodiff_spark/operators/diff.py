@@ -65,6 +65,31 @@ def check_compatible_schema(base: DataFrame, modified: DataFrame, info: TableInf
         raise SchemaMismatchError(f"column type drift between snapshots: {drift}")
 
 
+def _guard_null_pk(info: TableInfo) -> Column:
+    """Row-level NULL-PK guard as a presence-flag expression (TRUE, or
+    raise). Evaluated inside the scan projection — no extra Spark
+    action, and crucially the JOIN KEYS stay raw columns so the bucketed
+    zero-Exchange plan is untouched. The join uses plain `==` on PKs,
+    which would otherwise silently turn a NULL-PK row into a spurious
+    delete+insert pair; the reference fails loudly instead
+    (get_primary_key throws, geodiffutils.cpp:386-387)."""
+    cond = reduce(
+        lambda x, y: x & y, [F.col(k).isNotNull() for k in info.pk]
+    )
+    # assert_true returns NULL (and raises on violation), so the whole
+    # expression is the constant TRUE presence flag
+    return F.when(
+        F.assert_true(
+            cond,
+            F.lit(
+                f"NULL primary key in table {info.name!r} "
+                f"(pk={info.pk}) — invalid diff input"
+            ),
+        ).isNull(),
+        F.lit(True),
+    )
+
+
 def diff_table(
     base: DataFrame,
     modified: DataFrame,
@@ -81,8 +106,8 @@ def diff_table(
     """
     check_compatible_schema(base, modified, info)
     cols = list(info.columns)
-    b = base.select(*cols, F.lit(True).alias("_b_present"))
-    m = modified.select(*cols, F.lit(True).alias("_m_present"))
+    b = base.select(*cols, _guard_null_pk(info).alias("_b_present"))
+    m = modified.select(*cols, _guard_null_pk(info).alias("_m_present"))
     if copartition:
         np = num_partitions or b.sparkSession.conf.get("spark.sql.shuffle.partitions")
         b = b.repartition(int(np), *info.pk)

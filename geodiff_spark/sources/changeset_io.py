@@ -245,3 +245,69 @@ def encode_partition(info: TableInfo, dtypes: list):
         return encode_table_header(info) + encode_rows(rows, info, dtypes)
 
     return enc
+
+
+def write_changeset_dir(
+    changeset: dict[str, ChangesetTable],
+    out_dir: str,
+    *,
+    shards_per_table: int | None = None,
+) -> list[str]:
+    """DISTRIBUTED wire sink: every partition encodes and writes its own
+    shard file executor-side (shared filesystem on a cluster); the
+    driver only collects shard *names* and commits a manifest LAST
+    (write-then-publish, same protocol as plans/checkpoints.py). No row
+    ever crosses to the driver.
+
+    The concatenation of the shards in manifest order is a valid
+    changeset byte stream: the session format allows a table header to
+    reappear at any position (changesetreader.cpp:80-103 re-enters the
+    table-header state on every 'T' byte), so each shard simply repeats
+    its table's header. Empty partitions emit nothing. Returns the shard
+    paths in manifest order; ``read_changeset_dir`` or plain
+    concatenation (cat) reassembles a single-file changeset.
+    """
+    import os
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+    token = uuid.uuid4().hex[:8]
+    manifest: list[str] = []
+    for name in sorted(changeset):
+        t = changeset[name]
+        df = t.df
+        if shards_per_table:
+            df = df.repartition(shards_per_table)
+        info = t.info
+        dtypes = [df.schema[f"old_{c}"].dataType for c in info.columns]
+        enc = encode_partition(info, dtypes)
+
+        def write_shard(split, rows, enc=enc, name=name):
+            rows = list(rows)
+            if not rows:
+                return iter(())
+            blob = enc(iter(rows))
+            fn = f"{name}-{token}-{split:05d}.shard"
+            with open(os.path.join(out_dir, fn), "wb") as f:
+                f.write(blob)
+            return iter([fn])
+
+        shard_names = df.rdd.mapPartitionsWithIndex(write_shard).collect()
+        manifest.extend(sorted(shard_names))
+    with open(os.path.join(out_dir, "_MANIFEST"), "w") as f:
+        f.write("\n".join(manifest))
+    return [os.path.join(out_dir, s) for s in manifest]
+
+
+def read_changeset_dir_bytes(out_dir: str) -> bytes:
+    """Reassemble a sharded changeset directory into one wire stream
+    (manifest order)."""
+    import os
+
+    with open(os.path.join(out_dir, "_MANIFEST")) as f:
+        names = [ln for ln in f.read().splitlines() if ln]
+    out = io.BytesIO()
+    for n in names:
+        with open(os.path.join(out_dir, n), "rb") as f:
+            out.write(f.read())
+    return out.getvalue()

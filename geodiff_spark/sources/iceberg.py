@@ -6,6 +6,17 @@ capability-gated: ``iceberg_available(spark)`` probes the classpath, and
 absent (the parquet-bucketed ``SnapshotStore`` is the local fallback
 with the same join behavior).
 
+Jar acquisition attempt (round 2, documented per review): the sandbox
+has no network (DNS resolution fails for repo1.maven.org), pyspark's
+bundled 287 jars include no iceberg/delta/hudi artifacts, and no
+iceberg jar exists anywhere on the filesystem — so the real path cannot
+execute here. What IS verified offline: the guarded MERGE INTO text
+parses through Spark's own SQL parser (tests/test_snapshots.py), the
+value-guard/conflict semantics are the same code paths exercised by
+apply_table's oracle-checked tests, and the zero-Exchange
+storage-partitioned diff plan is asserted on the bucketed-parquet twin
+(the physical join layout Iceberg's bucket transform produces).
+
 Production deployment (what the DDL below buys at 10^12 rows):
   * `PARTITIONED BY (bucket(N, url))` → createChangeset's full-outer
     diff plans as a storage-partitioned join: no shuffle of either
@@ -84,24 +95,68 @@ class IcebergSnapshotStore:
             self.read(name, from_snapshot), self.read(name, to_snapshot), info
         )
 
-    def merge_apply(self, name: str, cs: ChangesetTable) -> None:
+    def merge_apply(
+        self, name: str, cs: ChangesetTable, *, check_conflicts: bool = True
+    ) -> None:
         """applyChangeset as a native MERGE INTO (set semantics, one
-        atomic snapshot commit)."""
-        info = cs.info
-        pk = info.pk[0]
+        atomic snapshot commit), with the reference's optimistic-
+        concurrency semantics:
+
+        * the MATCHED update/delete arms carry the VALUE GUARD — every
+          old-defined column must match the current row (sqlForUpdate /
+          sqlForDelete, sqlitedriver.cpp:653-729) — so a concurrently
+          modified row is never clobbered;
+        * ``check_conflicts=True`` (default) first runs the same
+          conflict scan apply_or_raise uses (insert_exists /
+          update_nothing / delete_nothing) against the current snapshot
+          and raises ConflictsError BEFORE merging — nothing is applied
+          on conflict, matching the reference's savepoint rollback.
+          ``False`` documents the weaker contract: guarded entries that
+          don't match silently no-op (set semantics).
+        """
+        if check_conflicts:
+            from ..changeset import ConflictsError
+            from ..operators.apply import apply_table
+
+            _, conflicts = apply_table(self.read(name), cs, persist_join=False)
+            n = conflicts.count()
+            if n:
+                raise ConflictsError(
+                    f"Conflicts encountered while applying changes! Total {n}",
+                    conflicts=conflicts,
+                )
         cs.df.createOrReplaceTempView("_cs_apply")
-        set_clauses = ", ".join(
-            f"t.{c} = CASE WHEN (s.new_bits >> {i}) & 1 = 1 THEN s.new_{c} ELSE t.{c} END"
-            for i, c in enumerate(info.columns)
-        )
-        insert_cols = ", ".join(info.columns)
-        insert_vals = ", ".join(f"s.new_{c}" for c in info.columns)
-        self.spark.sql(
-            f"""MERGE INTO {self.catalog}.{name} t
-            USING _cs_apply s
-            ON t.{pk} = coalesce(s.old_{pk}, s.new_{pk})
-            WHEN MATCHED AND s.op = 'delete' THEN DELETE
-            WHEN MATCHED AND s.op = 'update' THEN UPDATE SET {set_clauses}
-            WHEN NOT MATCHED AND s.op = 'insert' THEN
-              INSERT ({insert_cols}) VALUES ({insert_vals})"""
-        )
+        self.spark.sql(merge_apply_sql(f"{self.catalog}.{name}", "_cs_apply", cs.info))
+
+
+def merge_apply_sql(target: str, source: str, info: TableInfo) -> str:
+    """The guarded MERGE INTO statement (separate function so its text is
+    parser-testable without Iceberg jars on the classpath)."""
+    pk = info.pk[0]
+    set_clauses = ", ".join(
+        f"t.{c} = CASE WHEN (s.new_bits >> {i}) & 1 = 1 THEN s.new_{c} ELSE t.{c} END"
+        for i, c in enumerate(info.columns)
+    )
+    # optimistic-concurrency guard: all old-defined columns match the
+    # current row, timestamps at ms precision (sqlitedriver.cpp:690-695)
+    def eq(c: str) -> str:
+        if c in info.timestamp_cols:
+            fmt = "'yyyy-MM-dd HH:mm:ss.SSS'"
+            return (
+                f"date_format(t.{c}, {fmt}) <=> date_format(s.old_{c}, {fmt})"
+            )
+        return f"t.{c} <=> s.old_{c}"
+
+    guard = " AND ".join(
+        f"((s.old_bits >> {i}) & 1 = 0 OR {eq(c)})"
+        for i, c in enumerate(info.columns)
+    )
+    insert_cols = ", ".join(info.columns)
+    insert_vals = ", ".join(f"s.new_{c}" for c in info.columns)
+    return f"""MERGE INTO {target} t
+    USING {source} s
+    ON t.{pk} = coalesce(s.old_{pk}, s.new_{pk})
+    WHEN MATCHED AND s.op = 'delete' AND {guard} THEN DELETE
+    WHEN MATCHED AND s.op = 'update' AND {guard} THEN UPDATE SET {set_clauses}
+    WHEN NOT MATCHED AND s.op = 'insert' THEN
+      INSERT ({insert_cols}) VALUES ({insert_vals})"""

@@ -43,35 +43,138 @@ def streaming_summary(cs_stream: DataFrame, ts_col: str = "_commit_ts") -> DataF
     )
 
 
+def _pointer_path(store_dir: str) -> str:
+    import os
+
+    return os.path.join(store_dir, "_CURRENT")
+
+
+def _read_pointer(store_dir: str) -> dict | None:
+    import json
+    import os
+
+    p = _pointer_path(store_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def init_snapshot_store(df: DataFrame, store_dir: str) -> None:
+    """Seed a versioned snapshot store: write v=000000, then publish the
+    pointer (write-then-commit, like plans/checkpoints.py manifests)."""
+    import json
+    import os
+
+    vdir = os.path.join(store_dir, "v=000000")
+    df.write.mode("overwrite").parquet(vdir)
+    tmp = _pointer_path(store_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"dir": "v=000000", "epoch": -1}, f)
+    os.replace(tmp, _pointer_path(store_dir))  # atomic on POSIX
+
+
+def read_snapshot(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Current snapshot of a versioned store."""
+    import os
+
+    ptr = _read_pointer(store_dir)
+    if ptr is None:
+        raise FileNotFoundError(f"no _CURRENT pointer in {store_dir}")
+    return spark.read.parquet(os.path.join(store_dir, ptr["dir"]))
+
+
 def apply_stream(
     cs_stream: DataFrame,
     info: TableInfo,
-    snapshot_dir: str,
+    store_dir: str,
     checkpoint_dir: str,
+    *,
+    on_conflicts: str = "log",
 ):
-    """foreachBatch: fold each micro-batch changeset into the snapshot
-    parquet dir. Epoch id + checkpoint give exactly-once folds; each
-    epoch is one batch apply (full-outer merge) — the streaming
-    equivalent of applyChangeset per commit."""
-    spark = cs_stream.sparkSession
+    """foreachBatch fold of each micro-batch changeset into a VERSIONED
+    snapshot store (seed with :func:`init_snapshot_store`).
 
-    def fold(batch_df: DataFrame, epoch_id: int) -> None:
-        cs = ChangesetTable(info=info, df=batch_df)
-        current = spark.read.parquet(snapshot_dir)
-        new_target, _conflicts = apply_table(current, cs)
-        # write-new-then-swap keeps the fold atomic at the dir level
-        tmp = f"{snapshot_dir}__epoch{epoch_id}"
-        new_target.write.mode("overwrite").parquet(tmp)
-        import shutil
+    Crash safety: each epoch writes a fresh ``v=<epoch>`` directory and
+    only then atomically publishes the ``_CURRENT`` pointer
+    (``os.replace``) — a crash at any point leaves the previous snapshot
+    intact and readable. A RETRIED epoch (crash after publish, before
+    the stream checkpoint commit) is detected by the epoch id recorded
+    in the pointer and skipped, so the fold is idempotent and the
+    exactly-once claim holds end-to-end.
 
-        shutil.rmtree(snapshot_dir)
-        shutil.move(tmp, snapshot_dir)
-
+    Conflicts are never swallowed: ``on_conflicts='log'`` writes them to
+    ``<store>/_conflicts/epoch=<n>`` and logs the count;
+    ``'error'`` raises BEFORE publishing (the epoch fails and no state
+    changes — the reference's all-or-nothing savepoint semantics,
+    sqlitedriver.cpp:866-987)."""
+    fold = _make_fold(
+        cs_stream.sparkSession, info, store_dir, checkpoint_dir, on_conflicts
+    )
     return (
         cs_stream.writeStream.foreachBatch(fold)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def _make_fold(
+    spark: SparkSession,
+    info: TableInfo,
+    store_dir: str,
+    checkpoint_dir: str,
+    on_conflicts: str,
+):
+    """The per-epoch fold (module-level so tests can drive a simulated
+    epoch retry without fighting the checkpoint manager)."""
+    import json
+    import os
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        ptr = _read_pointer(store_dir)
+        if ptr is None:
+            raise FileNotFoundError(
+                f"snapshot store {store_dir} not seeded (init_snapshot_store)"
+            )
+        # epoch ids are only monotone WITHIN one streaming query lineage
+        # (same checkpoint); scope the retry guard to the query id from
+        # the checkpoint metadata so a brand-new query isn't mistaken
+        # for a retry
+        qid = None
+        meta = os.path.join(checkpoint_dir, "metadata")
+        if os.path.exists(meta):
+            with open(meta) as f:
+                qid = json.load(f).get("id")
+        if ptr.get("query") == qid and ptr["epoch"] >= epoch_id:
+            return  # retried epoch already published — idempotent skip
+        cs = ChangesetTable(info=info, df=batch_df)
+        current = spark.read.parquet(os.path.join(store_dir, ptr["dir"]))
+        new_target, conflicts = apply_table(current, cs)
+        n_conf = conflicts.count()
+        if n_conf:
+            if on_conflicts == "error":
+                raise ValueError(
+                    f"epoch {epoch_id}: {n_conf} conflicts — nothing applied"
+                )
+            conflicts.write.mode("overwrite").parquet(
+                os.path.join(store_dir, "_conflicts", f"epoch={epoch_id}")
+            )
+            print(
+                f"geodiff_spark.apply_stream: epoch {epoch_id} had "
+                f"{n_conf} conflicting entries (kept current row values); "
+                f"details in {store_dir}/_conflicts/epoch={epoch_id}"
+            )
+        # next version = current + 1 (NOT the epoch id: a new query
+        # lineage restarts epochs at 0, which must never overwrite the
+        # live version dir before the pointer moves)
+        vname = f"v={int(ptr['dir'].split('=')[1]) + 1:06d}"
+        new_target.write.mode("overwrite").parquet(os.path.join(store_dir, vname))
+        tmp = _pointer_path(store_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"dir": vname, "epoch": epoch_id, "query": qid}, f)
+        os.replace(tmp, _pointer_path(store_dir))
+
+    return fold
 
 
 def events_hourly_stream(events: DataFrame) -> DataFrame:

@@ -63,3 +63,45 @@ def test_cli_invert_asjson_schema(spark, data, capsys):
 
 def cli_args(*argv):
     return cli.build_parser().parse_args(list(argv))
+
+
+def test_cli_rebase_diff(spark, data, capsys, tmp_path):
+    """rebase-diff: changeset-file -> changeset-file, no db
+    (GEODIFF_createRebasedChangesetEx, geodiff-cli.cpp:417-450)."""
+    # theirs: edit fid 1; ours: edit fid 1 differently (conflict) + fid 3
+    base = spark.read.parquet(str(data / "base"))
+    theirs = spark.createDataFrame(
+        [(1, "a-theirs", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "fid long, name string, x double",
+    )
+    ours = spark.createDataFrame(
+        [(1, "a-ours", 1.0), (2, "b", 2.0), (3, "c-ours", 3.0)],
+        "fid long, name string, x double",
+    )
+    from geodiff_spark import TableInfo, diff_table
+
+    T = TableInfo(name="table", columns=("fid", "name", "x"), pk=("fid",))
+    diff_table(base, theirs, T).df.write.parquet(str(tmp_path / "b2t"))
+    diff_table(base, ours, T).df.write.parquet(str(tmp_path / "b2o"))
+
+    conf_path = str(tmp_path / "conflicts.json")
+    rc = cli._dispatch(
+        spark,
+        cli_args(
+            "rebase-diff", str(tmp_path / "b2t"), str(tmp_path / "b2o"),
+            str(tmp_path / "rebased"), "--conflicts", conf_path,
+        ),
+    )
+    assert rc == 0
+    reb = spark.read.parquet(str(tmp_path / "rebased"))
+    rows = {r["op"]: r for r in reb.collect()}
+    # ours wins on fid 1 (old patched to theirs' value) + clean edit fid 3
+    upds = sorted((r["old_fid"], r["new_name"]) for r in reb.collect())
+    assert upds == [(1, "a-ours"), (3, "c-ours")]
+    doc = json.loads(open(conf_path).read())
+    assert doc["geodiff"][0]["table"] == "table"
+    assert doc["geodiff"][0]["fid"] == "1"
+    # reference conflict JSON keys: column index, base/old(theirs)/new(ours)
+    vals = {c["column"]: c for c in doc["geodiff"][0]["changes"]}
+    assert vals[1]["old"] == "a-theirs" and vals[1]["new"] == "a-ours"
+    assert vals[1]["base"] == "a"

@@ -174,3 +174,75 @@ def test_ngram_cap_bounds_candidates(spark):
         df, "doc_id", "text", n=3, threshold=0.5, max_shingle_df=2
     )
     assert out.count() == 0
+
+
+def test_diff_null_pk_raises(spark):
+    """Reference parity: NULL PKs fail loudly (geodiffutils.cpp:386-387)
+    instead of producing a spurious delete+insert pair."""
+    from geodiff_spark import diff_table
+
+    T = TableInfo(name="t", columns=("fid", "v"), pk=("fid",))
+    good = spark.createDataFrame([(1, "a")], "fid long, v string")
+    bad = spark.createDataFrame([(1, "a"), (None, "x")], "fid long, v string")
+    with pytest.raises(Exception, match="NULL primary key"):
+        diff_table(bad, good, T).df.collect()
+    with pytest.raises(Exception, match="NULL primary key"):
+        diff_table(good, bad, T).df.collect()
+
+
+# ---------------------------------------------------------------------------
+# cross-driver diff (createChangesetDr analogue)
+# ---------------------------------------------------------------------------
+
+def test_cross_driver_csv_vs_parquet_diff(spark, tmp_path):
+    """Normalize-then-diff across drivers (geodiff.cpp:363-426): a CSV
+    snapshot (int32/decimal-ish inferred types, booleans) diffs cleanly
+    against a parquet snapshot after base-type coercion
+    (tableschema.cpp:93-160)."""
+    from decimal import Decimal
+
+    from geodiff_spark.sources.drivers import (
+        base_type,
+        diff_cross_driver,
+        load_table,
+    )
+    from pyspark.sql import types as T2
+
+    # parquet side: long / double / string / boolean->long upfront
+    pq = spark.createDataFrame(
+        [(1, 1.5, "a", True), (2, 2.5, "b", False), (3, 3.5, "c", True)],
+        "fid long, x double, name string, flag boolean",
+    )
+    pq_path = str(tmp_path / "pq")
+    pq.write.parquet(pq_path)
+
+    # csv side: everything comes back as inferred int/double/string/bool
+    csv_path = str(tmp_path / "csv")
+    mod = spark.createDataFrame(
+        [
+            (1, Decimal("1.50"), "a2", True),
+            (3, Decimal("3.50"), "c", False),
+            (4, Decimal("4.50"), "d", True),
+        ],
+        "fid int, x decimal(5,2), name string, flag boolean",
+    )
+    mod.coalesce(1).write.option("header", "true").csv(csv_path)
+
+    info = TableInfo(name="t", columns=("fid", "x", "name", "flag"), pk=("fid",))
+    a = load_table(spark, pq_path)
+    b = load_table(spark, csv_path, fmt="csv")
+    cs = diff_cross_driver(a, b, info)
+
+    got = {(r["op"],
+            r["old_fid"] if r["op"] != "insert" else r["new_fid"]): r
+           for r in cs.df.collect()}
+    assert set(got) == {("update", 1), ("update", 3), ("delete", 2), ("insert", 4)}
+    assert got[("update", 1)]["new_name"] == "a2"
+    assert got[("update", 3)]["new_flag"] == 0 and got[("update", 3)]["old_flag"] == 1
+    assert got[("insert", 4)]["new_x"] == 4.5  # decimal -> double
+
+    # coercion table spot checks
+    assert isinstance(base_type(T2.DecimalType(10, 2)), T2.DoubleType)
+    assert isinstance(base_type(T2.BooleanType()), T2.LongType)
+    assert isinstance(base_type(T2.TimestampNTZType()), T2.TimestampType)
+    assert isinstance(base_type(T2.ArrayType(T2.LongType())), T2.StringType)

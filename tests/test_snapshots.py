@@ -51,3 +51,27 @@ def test_iceberg_gate(spark):
     assert iceberg_available(spark) is False
     with _pytest.raises(RuntimeError, match="Iceberg runtime jars"):
         IcebergSnapshotStore(spark)
+
+
+def test_merge_apply_sql_parses_with_guard(spark):
+    """The guarded MERGE INTO text is valid Spark SQL (parser-level —
+    Iceberg jars are unobtainable offline; see sources/iceberg.py
+    docstring) and carries the reference's optimistic-concurrency guard
+    on BOTH matched arms (sqlitedriver.cpp:653-729)."""
+    from geodiff_spark.sources.iceberg import merge_apply_sql
+
+    info = TableInfo(
+        name="pages",
+        columns=("url", "title", "fetched_at"),
+        pk=("url",),
+        timestamp_cols=("fetched_at",),
+    )
+    sql = merge_apply_sql("cat.db.pages", "_cs_apply", info)
+    # value guard present on delete AND update arms, ms-normalized ts
+    assert sql.count("(s.old_bits >> 0) & 1 = 0 OR") == 2
+    assert "date_format(t.fetched_at, 'yyyy-MM-dd HH:mm:ss.SSS')" in sql
+    assert "WHEN MATCHED AND s.op = 'delete' AND" in sql
+    # parses through Spark's own SQL parser (resolution needs a v2 table,
+    # parsing does not)
+    plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+    assert "MergeIntoTable" in plan.getClass().getSimpleName()

@@ -101,3 +101,87 @@ def test_resumable_job(spark, tmp_path):
     assert {"job", "range_index", "cell_lo", "cell_hi", "rows", "seconds"} <= set(rec)
     assert os.path.exists(os.path.join(out, "_lineage.jsonl"))
     json.dumps(lineage)  # serializable
+
+
+def test_apply_stream_pointer_commit(spark, tmp_path):
+    """apply_stream folds changeset batches into a versioned store:
+    pointer-commit (crash-safe), conflicts surfaced, retried epochs
+    idempotently skipped."""
+    import shutil
+
+    from geodiff_spark.streaming.cdc import (
+        apply_stream,
+        init_snapshot_store,
+        read_snapshot,
+    )
+
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    src = tmp_path / "cs_src"
+    src.mkdir()
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "fid long, v string")
+    init_snapshot_store(base, store)
+    assert sorted(map(tuple, read_snapshot(spark, store).collect())) == [
+        (1, "a"), (2, "b")]
+
+    def drop_batch(cs_df, dest, tag):
+        # file stream sources don't recurse: stage then copy part files flat
+        stage = tmp_path / f"stage_{tag}"
+        cs_df.coalesce(1).write.parquet(str(stage))
+        for i, f in enumerate(sorted(stage.glob("part-*.parquet"))):
+            shutil.copy(f, dest / f"{tag}-{i}.parquet")
+
+    mod = spark.createDataFrame([(1, "a2"), (3, "c")], "fid long, v string")
+    cs = diff_table(base, mod, T)
+    drop_batch(cs.df, src, "batch0")
+
+    stream = changeset_stream(spark, str(src), T, schema=cs.df.schema)
+    q = apply_stream(stream, T, store, ckpt).start()
+    q.awaitTermination(120)
+    q.stop()
+    got = sorted(map(tuple, read_snapshot(spark, store).collect()))
+    assert got == [(1, "a2"), (3, "c")]
+
+    # simulate a TRUE epoch retry (crash after pointer publish, before
+    # the stream checkpoint commit): replay epoch 0 under the same
+    # checkpoint/query identity — the pointer guard must skip it (no
+    # double apply; re-deleting fid 2 would conflict)
+    from geodiff_spark.streaming.cdc import _make_fold, _read_pointer
+
+    fold = _make_fold(spark, T, store, ckpt, "log")
+    fold(cs.df, 0)  # retried epoch
+    assert sorted(map(tuple, read_snapshot(spark, store).collect())) == got
+    assert _read_pointer(store)["dir"] == "v=000001"  # no extra version
+
+    # whereas a GENUINELY new epoch under the same query advances state
+    cs_back = diff_table(mod, base, T)
+    fold(cs_back.df, 1)
+    assert sorted(map(tuple, read_snapshot(spark, store).collect())) == [
+        (1, "a"), (2, "b")]
+    assert _read_pointer(store)["dir"] == "v=000002"
+    fold(cs.df, 2)  # roll forward again so the conflict section sees `got`
+    assert sorted(map(tuple, read_snapshot(spark, store).collect())) == got
+
+    # conflict surfacing: a changeset whose guard fails (delete of a row
+    # that no longer exists) lands in _conflicts and does not stop the fold
+    cs2 = diff_table(mod, spark.createDataFrame([(1, "a2")], "fid long, v string"), T)
+    # cs2 deletes fid 3; make it conflict by first removing 3 via another path
+    ckpt3 = str(tmp_path / "ckpt3")
+    src2 = tmp_path / "cs_src2"
+    src2.mkdir()
+    bad = diff_table(
+        spark.createDataFrame([(9, "zz")], "fid long, v string"),
+        spark.createDataFrame([], "fid long, v string"),
+        T,
+    )  # delete fid 9 — absent from the store -> delete_nothing conflict
+    drop_batch(bad.df, src2, "badbatch")
+    stream2 = changeset_stream(spark, str(src2), T, schema=bad.df.schema)
+    q3 = apply_stream(stream2, T, store, ckpt3, on_conflicts="log").start()
+    q3.awaitTermination(120)
+    q3.stop()
+    assert sorted(map(tuple, read_snapshot(spark, store).collect())) == got
+    conf_dir = os.path.join(store, "_conflicts")
+    assert os.path.exists(conf_dir)
+    confs = spark.read.parquet(os.path.join(conf_dir, "epoch=0"))
+    assert confs.count() == 1 and confs.collect()[0]["reason"] == "delete_nothing"

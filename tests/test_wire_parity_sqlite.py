@@ -197,3 +197,61 @@ def test_our_diff_equals_sqlite_session_changeset(spark, tmp_path):
         return sorted(map(repr, df.select(sorted(df.columns)).collect()))
 
     assert canon(ours.df) == canon(theirs.df)
+
+
+def test_sqlite_applies_our_sharded_changeset(spark, tmp_path):
+    """The DISTRIBUTED sink: a multi-partition sharded changeset (one
+    repeated 'T' header per shard — legal per changesetreader.cpp:80-103)
+    concatenates into bytes that sqlite3changeset_apply consumes, landing
+    on the same target state as the single-file writer."""
+    from geodiff_spark.sources.changeset_io import (
+        read_changeset_dir_bytes,
+        write_changeset_dir,
+    )
+
+    n = 64
+    base_rows = [(i, f"name{i}", float(i), None) for i in range(1, n + 1)]
+    mod_rows = (
+        [(i, f"name{i}", float(i), None) for i in range(1, n + 1, 2)]  # keep odd
+        + [(i, f"edited{i}", float(i) + 0.5, b"\x01") for i in range(2, n + 1, 4)]
+        + [(i, f"new{i}", -1.0, b"\x02") for i in range(n + 1, n + 9)]
+    )
+    a = spark.createDataFrame(base_rows, SCHEMA)
+    b = spark.createDataFrame(mod_rows, SCHEMA)
+    cs = diff_table(a, b, T)
+
+    out_dir = str(tmp_path / "sharded")
+    shards = write_changeset_dir({"t": cs}, out_dir, shards_per_table=4)
+    assert len(shards) > 1, "expected a genuinely multi-shard changeset"
+    raw = read_changeset_dir_bytes(out_dir)
+    assert raw.count(b"\x54\x04") >= len(shards)  # one 'T' header per shard
+
+    db = Db()
+    db.exec(DDL)
+    for i, name, x, _ in base_rows:
+        db.exec(f"INSERT INTO t VALUES ({i}, '{name}', {x}, NULL)")
+
+    @CONFLICT_CB
+    def on_conflict(_ctx, _reason, _iter):
+        return 1  # abort on any conflict
+
+    buf = ctypes.create_string_buffer(raw, len(raw))
+    rc = lib.sqlite3changeset_apply(db.p, len(raw), buf, None, on_conflict, None)
+    assert rc == SQLITE_OK, f"sqlite3changeset_apply rc={rc}"
+
+    got = {r[0]: r for r in db.query("SELECT fid, name, x FROM t ORDER BY fid")}
+    want = {str(i): (str(i), nm, repr(x) if x == int(x) else str(x))
+            for i, nm, x, _ in mod_rows}
+    assert set(got) == set(want)
+    for k, r in got.items():
+        i, nm, x, _ = next(row for row in mod_rows if str(row[0]) == k)
+        assert r[1] == nm and float(r[2]) == x
+
+    # and our own reader round-trips the concatenated shard stream
+    p = tmp_path / "cat.diff"
+    p.write_bytes(raw)
+    schemas = {"t": [f.dataType for f in spark.createDataFrame([], SCHEMA).schema.fields]}
+    back = read_changeset_file(spark, str(p), {"t": T}, schemas)["t"]
+    def canon(df):
+        return sorted(map(repr, df.select(sorted(df.columns)).collect()))
+    assert canon(back.df) == canon(cs.df)
