@@ -31,8 +31,10 @@ from geodiff_spark.operators.invert import invert_table
 from geodiff_spark.operators.rebase import rebase_table
 from geodiff_spark.operators.similarity import (
     ann_bruteforce,
+    ann_ivf,
     cosine_dup_pairs,
     cosine_sql,
+    dot_sql,
 )
 from geodiff_spark.spatial.cells import cell_sql, cell_udf, parent_udf, xy_sql
 from geodiff_spark.spatial.knn import knn_join
@@ -578,6 +580,66 @@ def _ann_sql():
     """
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN (deterministic systematic centroids, nprobe=2) — fully
+    oracle-checked: the DuckDB twin replays centroid selection, nearest-
+    centroid assignment, probing, and the exact re-rank with the same
+    fold arithmetic."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ann_ivf(
+        emb, queries, k=8, centroid_step=32, nprobe=2
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+def _ann_ivf_sql():
+    def dot(a, b):
+        return dot_sql(a, b)
+
+    inv = "CAST(1.0 AS DOUBLE) / sqrt({d})"
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {inv.format(d=dot('embedding', 'embedding'))} AS inv
+      FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cid, v AS cv, inv AS cinv FROM e WHERE vec_id % 32 = 0
+    ), assign AS (
+      SELECT vec_id, v, inv, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY csim DESC, cid ASC) AS cr
+      FROM (SELECT e.vec_id, e.v, e.inv, c.cid,
+                   {dot('e.v', 'c.cv')} * e.inv * c.cinv AS csim
+            FROM e CROSS JOIN c)
+    ), lists AS (
+      SELECT vec_id, v, inv, cid AS cluster FROM assign WHERE cr = 1
+    ), q AS (
+      SELECT vec_id AS qid, v AS qv, inv AS qinv FROM e WHERE vec_id < 3
+    ), probes AS (
+      SELECT qid, qv, qinv, cid AS cluster FROM (
+        SELECT q.qid, q.qv, q.qinv, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                                  ORDER BY {dot('q.qv', 'c.cv')} * q.qinv * c.cinv DESC,
+                                           c.cid ASC) AS cr
+        FROM q CROSS JOIN c)
+      WHERE cr <= 2
+    ), cand AS (
+      SELECT DISTINCT p.qid, p.qv, p.qinv, l.vec_id, l.v, l.inv
+      FROM lists l JOIN probes p USING (cluster)
+    )
+    SELECT qid, vec_id, cos_sim, rank FROM (
+      SELECT qid, vec_id,
+             {dot('v', 'qv')} * inv * qinv AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY {dot('v', 'qv')} * inv * qinv DESC,
+                                         vec_id ASC) AS rank
+      FROM cand
+    ) WHERE rank <= 8
+    """
+
+
 def q_cosine_dups(spark, sf_dir):
     return cosine_dup_pairs(_emb(spark, sf_dir), threshold=0.4, dim=64, exact=True)
 
@@ -842,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_bruteforce": q_ann_bruteforce,
+        "ann_ivf": q_ann_ivf,
         "cosine_dups": q_cosine_dups,
         "cosine_dups_lsh": q_cosine_dups_lsh,
         "events_hourly": q_events_hourly,
@@ -872,6 +935,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _dedup_exact_sql(),
         "ngram_jaccard": _ngram_jaccard_oracle(),
         "ann_bruteforce": _ann_sql(),
+        "ann_ivf": _ann_ivf_sql(),
         "cosine_dups": _cosine_dups_sql(),
         "events_hourly": _EVENTS_SQL,
         "lineitem_pricing": _LINEITEM_SQL,

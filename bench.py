@@ -279,7 +279,7 @@ def run_suite() -> None:
         "diff_changeset", "diff_summary", "apply_roundtrip", "invert_roundtrip",
         "concat_apply", "rebase_final", "cell_assign", "cell_rollup", "pip",
         "knn", "raster", "text_features", "dedup_exact", "ngram_jaccard",
-        "minhash_lsh", "simhash", "ann_bruteforce", "cosine_dups_lsh",
+        "minhash_lsh", "simhash", "ann_bruteforce", "ann_ivf", "cosine_dups_lsh",
         "events_hourly", "lineitem_pricing", "dump", "kring",
         "text_extract", "quality_filter", "salted_cell_counts",
     ]
@@ -330,7 +330,7 @@ def run_suite() -> None:
             int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "8,32").split(",")
         )
         result["scaling"] = run_scaling(
-            int(os.environ.get("SPARK_GRAFT_SCALE_N", "4000000")), levels=levels
+            int(os.environ.get("SPARK_GRAFT_SCALE_N", "24000000")), levels=levels
         )
     print(json.dumps(result))
 

@@ -264,3 +264,104 @@ def cosine_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the task brief's named scale path alongside LSH
+# --------------------------------------------------------------------------
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids by cosine
+    (fold-exact math; ties break on centroid id asc). Centroids are the
+    SMALL side — broadcast; one narrow pass over the vector table.
+    -> (id_col, vec_col, _inv, cluster)."""
+    c = F.broadcast(
+        with_inv_norm(
+            centroids.select(
+                F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+            ),
+            "_cvec",
+            "_cinv",
+        )
+    )
+    v = with_inv_norm(vectors.select(id_col, vec_col), vec_col, "_inv")
+    scored = v.crossJoin(c).withColumn(
+        "_csim",
+        dot_expr(F.col(vec_col), F.col("_cvec")) * F.col("_inv") * F.col("_cinv"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_csim").desc(), F.col("_cid").asc()
+    )
+    return (
+        scored.withColumn("_cr", F.row_number().over(w))
+        .filter(F.col("_cr") <= nprobe)
+        .select(id_col, vec_col, "_inv", F.col("_cid").alias("cluster"))
+    )
+
+
+def ann_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    centroid_step: int = 32,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """IVF approximate top-k: deterministic systematic-sampling centroids
+    (every ``centroid_step``-th vector by id — no float iteration, so the
+    whole pipeline is bit-reproducible in the DuckDB oracle; k-means
+    refinement would only move centroids, not change the plan shape),
+    vectors hard-assigned to their nearest centroid (nprobe=1), queries
+    probe their ``nprobe`` nearest lists, exact cosine re-rank inside the
+    probed lists.
+
+    Scale shape: the vector table is scanned once for assignment (one
+    broadcast of ~n/centroid_step centroids), the candidate join is on
+    the cluster id (shuffle key = cluster), and a query only ever meets
+    the ~nprobe/n_lists fraction of the corpus — never O(n·q)."""
+    centroids = vectors.filter(F.col(id_col) % centroid_step == 0)
+    lists = ivf_assign(
+        vectors, centroids, nprobe=1, id_col=id_col, vec_col=vec_col
+    )
+    probes = ivf_assign(
+        queries.select(
+            F.col(qid_col).alias("vec_id"), F.col(qvec_col).alias("embedding")
+        ),
+        centroids.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        ),
+        nprobe=nprobe,
+    ).select(
+        F.col("vec_id").alias(qid_col),
+        F.col("embedding").alias(qvec_col),
+        F.col("_inv").alias("_qinv"),
+        "cluster",
+    )
+    cand = lists.join(F.broadcast(probes), "cluster").dropDuplicates(
+        [qid_col, id_col]
+    )
+    cos = (
+        dot_expr(F.col(vec_col), F.col(qvec_col))
+        * F.col("_inv")
+        * F.col("_qinv")
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("cos_sim", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "cos_sim", "rank")
+    )

