@@ -70,3 +70,34 @@ def test_ann_bruteforce_broadcasts_queries(spark):
     plan = plan_of(E.q_ann_bruteforce(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("BroadcastExchange") == 1
+
+
+def test_ann_ivf_broadcasts_small_sides_only(spark):
+    """IVF: centroids (vector-assign) and probes (candidate join) are the
+    broadcast sides; the vector table itself is never broadcast and never
+    cartesian-joined unboundedly."""
+    plan = plan_of(E.q_ann_ivf(spark, SF))
+    # centroid assignment (x2: lists + probes) is a broadcast NLJ against
+    # the tiny centroid set; candidate join broadcasts the probed queries
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert "BroadcastHashJoin" in plan  # cluster-id candidate join
+
+
+def test_minhash_band_join_no_cartesian(spark):
+    """The band join is a hash/sort-merge equi-join on (band, bucket,
+    slice) — never a cartesian/NLJ (slice equality is usable as an
+    equi-key)."""
+    plan = plan_of(E.q_minhash_lsh(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan)
+
+
+def test_rebase_plan_no_cartesian_no_python_join(spark):
+    """The distributed allocator folds into the lazy plan: equi-joins
+    only, windows over the collision set, no cartesian blowup."""
+    df = E.q_rebase_conflicts(spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan

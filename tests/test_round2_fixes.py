@@ -246,3 +246,40 @@ def test_cross_driver_csv_vs_parquet_diff(spark, tmp_path):
     assert isinstance(base_type(T2.BooleanType()), T2.LongType)
     assert isinstance(base_type(T2.TimestampNTZType()), T2.TimestampType)
     assert isinstance(base_type(T2.ArrayType(T2.LongType())), T2.StringType)
+
+
+def test_cross_driver_jdbc_derby_diff(spark, tmp_path):
+    """A REAL database driver on the modified side: embedded Derby via
+    Spark's bundled JDBC jars. Derby INT/DECIMAL/VARCHAR/BOOLEAN coerce
+    through the base-type table and diff cleanly against parquet —
+    the full createChangesetDr shape (different drivers, one diff)."""
+    from geodiff_spark.sources.drivers import diff_cross_driver, load_table
+
+    db = str(tmp_path / "derbydb")
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(f"jdbc:derby:{db};create=true")
+    st = conn.createStatement()
+    st.execute(
+        "CREATE TABLE t (fid INT PRIMARY KEY, x DECIMAL(5,2), "
+        "name VARCHAR(20), flag BOOLEAN)"
+    )
+    for row in ["(1, 1.50, 'a2', true)", "(3, 3.50, 'c', false)",
+                "(4, 4.50, 'd', true)"]:
+        st.execute(f"INSERT INTO t VALUES {row}")
+    conn.close()
+
+    base = spark.createDataFrame(
+        [(1, 1.5, "a", True), (2, 2.5, "b", False), (3, 3.5, "c", True)],
+        "fid long, x double, name string, flag boolean",
+    )
+    mod = load_table(spark, f"jdbc:derby:{db}", fmt="jdbc", dbtable="t")
+    mod = mod.toDF(*[c.lower() for c in mod.columns])  # Derby upcases names
+
+    info = TableInfo(name="t", columns=("fid", "x", "name", "flag"), pk=("fid",))
+    cs = diff_cross_driver(base, mod, info)
+    got = {(r["op"], r["old_fid"] if r["op"] != "insert" else r["new_fid"]): r
+           for r in cs.df.collect()}
+    assert set(got) == {("update", 1), ("update", 3), ("delete", 2), ("insert", 4)}
+    assert got[("update", 1)]["new_name"] == "a2"
+    assert got[("update", 3)]["old_flag"] == 1 and got[("update", 3)]["new_flag"] == 0
+    assert got[("insert", 4)]["new_x"] == 4.5
