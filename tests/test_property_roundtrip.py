@@ -85,3 +85,93 @@ def test_concat_equivalence(spark, a, b, c):
 def test_self_diff_empty(spark, a):
     da = _mk(spark, a)
     assert not has_changes({"t": diff_table(da, da, T)})
+
+
+# ---------------------------------------------------------------------------
+# rebase properties — random concurrent edit scripts
+# ---------------------------------------------------------------------------
+
+_BASE_KEYS = list(range(8))
+_INS_KEYS = list(range(10, 14))
+
+# per-key action: 0 keep, 1 update, 2 delete; update values from a tiny
+# alphabet so same-value concurrent edits (the cancel case) happen often
+_side = st.tuples(
+    st.lists(st.sampled_from([0, 1, 2]), min_size=8, max_size=8),
+    st.lists(st.sampled_from(["p", "q"]), min_size=8, max_size=8),
+    st.lists(st.booleans(), min_size=4, max_size=4),  # which ids inserted
+)
+
+
+def _apply_side(base_rows, side):
+    ops, vals, ins = side
+    out, deleted, updated = [], set(), {}
+    for (k, s, x, b), op, v in zip(base_rows, ops, vals):
+        if op == 2:
+            deleted.add(k)
+        elif op == 1:
+            out.append((k, v, x, b))
+            updated[k] = v
+        else:
+            out.append((k, s, x, b))
+    inserts = {}
+    for k, flag in zip(_INS_KEYS, ins):
+        if flag:
+            out.append((k, f"ins{k}", 1.0, True))
+            inserts[k] = f"ins{k}"
+    return out, deleted, updated, inserts
+
+
+@given(theirs_side=_side, ours_side=_side)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_rebase_merge_semantics(spark, theirs_side, ours_side):
+    """For ARBITRARY concurrent edit scripts, rebase lands on the
+    reference's merge table: delete wins, ours wins conflicting updates,
+    same-value edits cancel, colliding inserts remap (count + values
+    preserved), theirs inserts keep their ids."""
+    from geodiff_spark.api import Dataset, rebase
+    from geodiff_spark.plans.cache import cache_scope
+
+    base_rows = [(k, f"s{k}", float(k), k % 2 == 0) for k in _BASE_KEYS]
+    t_rows, t_del, t_upd, t_ins = _apply_side(base_rows, theirs_side)
+    o_rows, o_del, o_upd, o_ins = _apply_side(base_rows, ours_side)
+
+    def ds(rows):
+        return Dataset(tables={"t": _mk(spark, rows)}, infos={"t": T})
+
+    with cache_scope():
+        final, conflicts = rebase(ds(base_rows), ds(t_rows), ds(o_rows))
+        got = {r["k"]: r for r in final.tables["t"].collect()}
+        n_conf = conflicts.get("t").count() if conflicts else 0
+
+    # PK uniqueness
+    assert len(got) == final.tables["t"].count()
+
+    # deletes win (either side); survivors carry the merge-table value
+    for k, s, x, b in base_rows:
+        if k in t_del or k in o_del:
+            assert k not in got
+        elif k in o_upd:
+            assert got[k]["s"] == o_upd[k]  # ours wins (or equal-cancel)
+        elif k in t_upd:
+            assert got[k]["s"] == t_upd[k]
+        else:
+            assert got[k]["s"] == s
+
+    # theirs inserts keep their ids and values
+    for k, v in t_ins.items():
+        assert got[k]["s"] == v
+    # ours inserts all survive (possibly remapped): match by value
+    final_ins_vals = {r["s"] for k, r in got.items() if k >= 10}
+    assert set(o_ins.values()) <= final_ins_vals
+    assert len([k for k in got if k >= 10]) == len(t_ins) + len(o_ins)
+
+    # conflicts only when both updated the same key differently (their
+    # delete vs our update is also a conflict item)
+    both_diff = [k for k in t_upd if k in o_upd and t_upd[k] != o_upd[k]]
+    del_vs_upd = [k for k in o_upd if k in t_del]
+    if not both_diff and not del_vs_upd:
+        assert n_conf == 0
+    else:
+        assert n_conf >= 1
