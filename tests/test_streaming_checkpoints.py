@@ -185,3 +185,42 @@ def test_apply_stream_pointer_commit(spark, tmp_path):
     assert os.path.exists(conf_dir)
     confs = spark.read.parquet(os.path.join(conf_dir, "epoch=0"))
     assert confs.count() == 1 and confs.collect()[0]["reason"] == "delete_nothing"
+
+
+def test_dedup_stream_first_seen_wins(spark, tmp_path):
+    """Streaming exact dedup drops re-arrivals of the same content key
+    within the watermark; distinct contents all pass."""
+    import shutil
+
+    from geodiff_spark.streaming.dedup import content_key, dedup_stream
+
+    rows = [
+        (1, "alpha text", "2026-01-01 10:00:00"),
+        (2, "alpha text", "2026-01-01 10:10:00"),   # dup within watermark
+        (3, "beta text",  "2026-01-01 10:20:00"),
+        (4, "gamma text", "2026-01-01 10:30:00"),
+        (5, "beta text",  "2026-01-01 10:40:00"),   # dup within watermark
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp")) \
+        .select("doc_id", "text", "ts", content_key("text"))
+    src = tmp_path / "dedup_src"
+    stage = tmp_path / "dedup_stage"
+    src.mkdir()
+    df.coalesce(1).write.parquet(str(stage))
+    for i, f in enumerate(sorted(stage.glob("part-*.parquet"))):
+        shutil.copy(f, src / f"b{i}.parquet")
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    out = dedup_stream(stream, ["content_key"], ts_col="ts", watermark="1 hour")
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = sorted(r["text"] for r in spark.sql("select * from dedup_out").collect())
+    assert got == ["alpha text", "beta text", "gamma text"]
