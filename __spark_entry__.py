@@ -483,8 +483,31 @@ def _raster_sql():
 # text / dedup / similarity queries
 # ---------------------------------------------------------------------------
 
+_SPREAD_DOCS_CACHE: dict = {}
+
+
+def _spread_docs(spark, sf_dir):
+    """The testdata documents table is a single parquet file with ONE row
+    group = ONE scan partition, which serializes the regex/fold kernels
+    onto one core. Repartition to cluster parallelism AND cache the
+    (tiny, <1 MB) spread relation: the cache boundary is what keeps
+    Catalyst from pushing heavy filters back through the Exchange onto
+    the single-partition scan (it splits And-conjuncts and pushes every
+    deterministic predicate, so expression-level barriers don't hold).
+    A real multi-file/Iceberg table scans in parallel and needs none of
+    this."""
+    key = (id(spark), sf_dir)
+    if key not in _SPREAD_DOCS_CACHE:
+        _SPREAD_DOCS_CACHE[key] = (
+            _docs(spark, sf_dir)
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+            .cache()
+        )
+    return _SPREAD_DOCS_CACHE[key]
+
+
 def q_text_features(spark, sf_dir):
-    d = _docs(spark, sf_dir)
+    d = _spread_docs(spark, sf_dir)
     return d.select(
         "doc_id",
         TX.token_count_expr(F.col("text")).alias("n_tokens"),
@@ -823,7 +846,7 @@ FROM documents
 def q_quality_filter(spark, sf_dir):
     """Composite training-data filter: english + quality threshold +
     length band — the canonical corpus-cleaning selection."""
-    d = _docs(spark, sf_dir)
+    d = _spread_docs(spark, sf_dir)
     return (
         d.withColumn("q", TX.quality_expr(F.col("text")))
         .withColumn("lang_pred", TX.lang_id_expr(F.col("text")))
