@@ -137,29 +137,26 @@ def _insert_mapping_df(
 
     The scalars (mx, k) ride along as broadcast 1-row aggregates — the
     whole mapping folds into the main rebase job with zero driver-side
-    actions or collections. The global row_number windows run on the
-    collision set only (single-partition sort, spillable) — at most the
-    concurrent-insert overlap, never the full changeset.
+    actions or collections. Ranks use the two-phase scheme in
+    :func:`_global_rank`, so even a collision set the size of ALL
+    inserts never funnels through one task.
     """
-    from pyspark.sql import Window
-
     t = theirs_ins_fids.distinct()
     o = ours_ins_fids.distinct()
     stats = t.agg(F.max("fid").alias("_mx"))  # 1 row; null _mx if no inserts
 
-    coll = o.join(t, "fid", "left_semi").withColumn(
-        "_rn", F.row_number().over(Window.orderBy("fid"))
-    )
+    coll = _global_rank(o.join(t, "fid", "left_semi"))
     kstats = coll.agg(F.coalesce(F.max("_rn"), F.lit(0)).alias("_k"))
 
     coll_map = coll.crossJoin(F.broadcast(stats)).select(
         "fid", (F.col("_mx") + F.col("_rn")).alias("_remap_fid")
     )
     cascade = (
-        o.join(t, "fid", "left_anti")
-        .crossJoin(F.broadcast(stats))
-        .filter(F.col("fid") > F.col("_mx"))  # only ids inside the window
-        .withColumn("_rn", F.row_number().over(Window.orderBy("fid")))
+        _global_rank(
+            o.join(t, "fid", "left_anti")
+            .crossJoin(F.broadcast(stats))
+            .filter(F.col("fid") > F.col("_mx"))  # only ids in the window
+        )
         .crossJoin(F.broadcast(kstats))
         .filter(F.col("fid") <= F.col("_mx") + F.col("_k") + F.col("_rn") - 1)
         .select(
@@ -168,6 +165,45 @@ def _insert_mapping_df(
         )
     )
     return coll_map.unionByName(cascade)
+
+
+def _global_rank(df: DataFrame, out: str = "_rn") -> DataFrame:
+    """1-based ascending rank of (distinct) ``fid`` WITHOUT a global
+    single-partition window: range-partition on fid, rank locally within
+    each physical partition, then add broadcast prefix-count offsets
+    (the offsets relation is #partitions rows — its window is trivially
+    small). Scales to ranks over billions of rows; a plain
+    ``row_number() over (order by fid)`` funnels everything through one
+    task."""
+    from pyspark.sql import Window
+
+    p = df.sparkSession.sparkContext.defaultParallelism
+    d = df.repartitionByRange(p, "fid").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    d = d.withColumn(
+        "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy("fid"))
+    )
+    offs = (
+        d.groupBy("_pid")
+        .agg(F.max("_lrn").alias("_cnt"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    return (
+        d.join(F.broadcast(offs.select("_pid", "_off")), "_pid")
+        .withColumn(out, (F.col("_lrn") + F.col("_off")).cast("int"))
+        .drop("_pid", "_lrn")
+    )
 
 
 def rebase_table(
