@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary +
 typed metadata, processed in Arrow-batched mapInPandas.
 
-The container has no codec libraries, so the *decode* kernels are
-deterministic fakes clearly gated behind ``DECODERS`` (swap in
-PIL/librosa/av on a real cluster — the Spark-side plumbing — schemas,
-batch iteration, partition sizing — is identical either way and is what
-these operators test).
+Codec status in this environment (no external codec libs):
+  * PNG — REAL: decoded/encoded by functions.png (pure numpy + stdlib
+    zlib, all five scanline filters, CRC-checked);
+  * JPEG — explicitly gated (NotImplementedError; DCT entropy decode is
+    a codec-library job — swap in PIL on a real cluster);
+  * raw synthetic payloads — deterministic fake expansion (tests the
+    Spark-side plumbing: schemas, Arrow batch iteration, partitioning).
 
 Schema convention for a media table:
     asset_id long, kind string ('image'|'audio'|'video'),
@@ -32,16 +34,27 @@ THUMB_SCHEMA = "asset_id long, thumb binary, width int, height int"
 FRAME_SCHEMA = "asset_id long, frame_idx int, frame binary"
 
 
-def _fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Deterministic stand-in for a real image decoder: expands payload
-    bytes into a (h, w) luma plane by tiling. Replace with PIL decode on
-    a real cluster — NotImplementedError if payload claims a real codec."""
-    if payload[:2] in (b"\xff\xd8", b"\x89P"):  # real JPEG/PNG magic
-        raise NotImplementedError("real image codecs unavailable in this env")
+def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """payload -> (h, w) uint8 luma plane.
+
+    PNG payloads decode for REAL (functions.png; meta width/height are
+    advisory — the container's own dimensions win). JPEG stays gated.
+    Anything else is the deterministic fake expansion for synthetic
+    plumbing tests."""
+    from .png import PNG_MAGIC, decode_png, luma
+
+    if payload[:8] == PNG_MAGIC:
+        return luma(decode_png(payload))
+    if payload[:2] == b"\xff\xd8":
+        raise NotImplementedError("JPEG decode unavailable in this env (PIL on a real cluster)")
     raw = np.frombuffer(payload, dtype=np.uint8)
     need = width * height
     reps = int(np.ceil(need / max(len(raw), 1)))
     return np.tile(raw, reps)[:need].reshape(height, width)
+
+
+#: backwards-compat alias (round-1 name)
+_fake_decode_image = _decode_image
 
 
 def extract_features(media: DataFrame, *, feat_dim: int = 8) -> DataFrame:
@@ -55,7 +68,7 @@ def extract_features(media: DataFrame, *, feat_dim: int = 8) -> DataFrame:
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
                 w = int(meta["width"] or 16)
                 h = int(meta["height"] or 16)
-                plane = _fake_decode_image(bytes(payload), w, h).astype(np.float64)
+                plane = _decode_image(bytes(payload), w, h).astype(np.float64)
                 qs = np.quantile(plane, np.linspace(0, 1, feat_dim - 2))
                 v = np.concatenate([[plane.mean(), plane.std()], qs])
                 feats.append(v.astype(np.float32))
@@ -82,9 +95,10 @@ def resize_images(media: DataFrame, *, out_w: int = 8, out_h: int = 8) -> DataFr
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
                 w = int(meta["width"] or 16)
                 h = int(meta["height"] or 16)
-                plane = _fake_decode_image(bytes(payload), w, h)
-                ys = np.linspace(0, h - 1, out_h).astype(int)
-                xs = np.linspace(0, w - 1, out_w).astype(int)
+                plane = _decode_image(bytes(payload), w, h)
+                h2, w2 = plane.shape
+                ys = np.linspace(0, h2 - 1, out_h).astype(int)
+                xs = np.linspace(0, w2 - 1, out_w).astype(int)
                 thumbs.append(plane[np.ix_(ys, xs)].tobytes())
             yield pd.DataFrame(
                 {

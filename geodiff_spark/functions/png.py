@@ -1,0 +1,183 @@
+"""Real PNG codec in pure numpy + stdlib zlib — no external codec libs.
+
+PNG is DEFLATE-compressed filtered scanlines (RFC 2083); everything
+needed ships with CPython: ``zlib`` for the stream, ``zlib.crc32`` for
+chunk CRCs. This makes the multimodal *image* path genuinely real in
+this environment: the engine decodes/encodes actual standards-compliant
+PNG bytes (verified round-trip against all five filter types), while
+JPEG stays explicitly gated (DCT entropy decode is a codec-library job).
+
+Supported: 8-bit greyscale (color type 0) and RGB (color type 2),
+non-interlaced — the shapes a training-data pipeline normalizes to
+anyway. Decode handles all five scanline filters (None/Sub/Up/Average/
+Paeth); encode can emit any fixed filter (default 0) so the decoder's
+filter paths are testable from our own bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _filter_row(
+    ftype: int, cur: np.ndarray, prev: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Apply filter ``ftype`` to a raw scanline (encoder side)."""
+    cur16 = cur.astype(np.int16)
+    a = np.zeros_like(cur16)
+    a[bpp:] = cur16[:-bpp]
+    b = prev.astype(np.int16)
+    c = np.zeros_like(b)
+    c[bpp:] = b[:-bpp]
+    if ftype == 0:
+        out = cur16
+    elif ftype == 1:
+        out = cur16 - a
+    elif ftype == 2:
+        out = cur16 - b
+    elif ftype == 3:
+        out = cur16 - ((a + b) >> 1)
+    elif ftype == 4:
+        p = a + b - c
+        pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+        pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+        out = cur16 - pred
+    else:
+        raise ValueError(f"bad filter {ftype}")
+    return (out % 256).astype(np.uint8)
+
+
+def encode_png(arr: np.ndarray, *, filter_type: int = 0) -> bytes:
+    """(h, w) uint8 grey or (h, w, 3) uint8 RGB -> PNG bytes."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        color, bpp = 0, 1
+        h, w = arr.shape
+        flat = arr
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        color, bpp = 2, 3
+        h, w = arr.shape[:2]
+        flat = arr.reshape(h, w * 3)
+    else:
+        raise ValueError("expected (h,w) grey or (h,w,3) RGB uint8")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    prev = np.zeros(flat.shape[1], dtype=np.uint8)
+    lines = []
+    for r in range(h):
+        lines.append(bytes([filter_type]))
+        lines.append(_filter_row(filter_type, flat[r], prev, bpp).tobytes())
+        prev = flat[r]
+    idat = zlib.compress(b"".join(lines), 6)
+    return (
+        PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _unfilter_row(
+    ftype: int, cur: np.ndarray, prev: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Reconstruct one scanline (decoder side)."""
+    n = len(cur)
+    if ftype == 0:
+        return cur.copy()
+    if ftype == 2:
+        return ((cur.astype(np.int16) + prev) % 256).astype(np.uint8)
+    if ftype == 1:
+        # recon[x] = cur[x] + recon[x-bpp]: per-lane prefix sums mod 256
+        lanes = cur.reshape(-1, bpp).astype(np.int64)
+        return (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).reshape(n)
+    out = np.zeros(n, dtype=np.int16)
+    prev16 = prev.astype(np.int16)
+    cur16 = cur.astype(np.int16)
+    # Average/Paeth are inherently sequential in x; loop pixels with the
+    # bpp lanes vectorized
+    for x in range(0, n, bpp):
+        a = out[x - bpp : x] if x >= bpp else np.zeros(bpp, dtype=np.int16)
+        b = prev16[x : x + bpp]
+        if ftype == 3:
+            out[x : x + bpp] = (cur16[x : x + bpp] + ((a + b) >> 1)) % 256
+        elif ftype == 4:
+            c = (
+                prev16[x - bpp : x]
+                if x >= bpp
+                else np.zeros(bpp, dtype=np.int16)
+            )
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+            )
+            out[x : x + bpp] = (cur16[x : x + bpp] + pred) % 256
+        else:
+            raise ValueError(f"bad filter {ftype}")
+    return out.astype(np.uint8)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w) uint8 grey or (h, w, 3) uint8 RGB."""
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    ihdr = None
+    idat = []
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", data[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in (0, 2) or comp or filt or interlace:
+        raise NotImplementedError(
+            "supported: 8-bit grey/RGB, non-interlaced PNG"
+        )
+    bpp = 1 if color == 0 else 3
+    stride = w * bpp
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("scanline stream length mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        prev = _unfilter_row(int(rows[r, 0]), rows[r, 1:], prev, bpp)
+        out[r] = prev
+    return out if color == 0 else out.reshape(h, w, 3)
+
+
+def luma(img: np.ndarray) -> np.ndarray:
+    """(h,w) passthrough or integer BT.601 luma of (h,w,3) — exact,
+    deterministic (no float rounding drift)."""
+    if img.ndim == 2:
+        return img
+    r, g, b = img[..., 0].astype(np.int64), img[..., 1].astype(np.int64), img[..., 2].astype(np.int64)
+    return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
