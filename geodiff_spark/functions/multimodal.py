@@ -63,14 +63,24 @@ def extract_features(media: DataFrame, *, feat_dim: int = 8) -> DataFrame:
     per-asset decode is the unavoidable ragged step."""
 
     def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .wav import WAV_MAGIC, audio_features, decode_wav
+
         for pdf in it:
             feats, nbytes = [], []
-            for payload, meta in zip(pdf["payload"], pdf["meta"]):
-                w = int(meta["width"] or 16)
-                h = int(meta["height"] or 16)
-                plane = _decode_image(bytes(payload), w, h).astype(np.float64)
-                qs = np.quantile(plane, np.linspace(0, 1, feat_dim - 2))
-                v = np.concatenate([[plane.mean(), plane.std()], qs])
+            for payload, meta, kind in zip(
+                pdf["payload"], pdf["meta"], pdf["kind"]
+            ):
+                payload = bytes(payload)
+                if kind == "audio" and payload[:4] == WAV_MAGIC:
+                    # REAL RIFF/PCM decode (functions.wav)
+                    pcm, _rate = decode_wav(payload)
+                    v = audio_features(pcm, n_bands=feat_dim - 2)
+                else:
+                    w = int(meta["width"] or 16)
+                    h = int(meta["height"] or 16)
+                    plane = _decode_image(payload, w, h).astype(np.float64)
+                    qs = np.quantile(plane, np.linspace(0, 1, feat_dim - 2))
+                    v = np.concatenate([[plane.mean(), plane.std()], qs])
                 feats.append(v.astype(np.float32))
                 nbytes.append(len(payload))
             yield pd.DataFrame(

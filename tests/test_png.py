@@ -85,3 +85,54 @@ def test_jpeg_still_gated(spark):
 
     with pytest.raises(NotImplementedError, match="JPEG"):
         _decode_image(b"\xff\xd8\xff\xe0fakejpegbytes", 4, 4)
+
+
+# ---------------------------------------------------------------------------
+# WAV (functions/wav.py)
+# ---------------------------------------------------------------------------
+
+def test_wav_roundtrip():
+    from geodiff_spark.functions.wav import decode_wav, encode_wav
+
+    rng = np.random.default_rng(3)
+    for shape in [(100,), (64, 2), (1, 1)]:
+        pcm = rng.integers(-32768, 32768, size=shape, dtype=np.int16)
+        data = encode_wav(pcm, sample_rate=8000)
+        back, rate = decode_wav(data)
+        assert rate == 8000
+        want = pcm[:, None] if pcm.ndim == 1 else pcm
+        np.testing.assert_array_equal(back, want)
+
+
+def test_wav_rejects_compressed():
+    import struct
+
+    from geodiff_spark.functions.wav import decode_wav, encode_wav
+
+    data = bytearray(encode_wav(np.zeros(4, dtype=np.int16)))
+    # flip the audio-format field (offset: RIFF(12) + 'fmt '+len(8) = 20)
+    data[20:22] = struct.pack("<H", 85)  # mp3
+    with np.testing.assert_raises(NotImplementedError):
+        decode_wav(bytes(data))
+
+
+def test_multimodal_real_wav_features(spark):
+    import pandas as pd
+
+    from geodiff_spark.functions.multimodal import extract_features
+    from geodiff_spark.functions.wav import audio_features, encode_wav
+
+    rng = np.random.default_rng(9)
+    pcm = rng.integers(-20000, 20000, size=(2048,), dtype=np.int16)
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, "audio", bytearray(encode_wav(pcm)),
+              {"width": 0, "height": 0, "sample_rate": 16000, "n_frames": 0})],
+            columns=["asset_id", "kind", "payload", "meta"],
+        ),
+        "asset_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    got = extract_features(media).collect()[0]["feature"]
+    want = audio_features(pcm[:, None], n_bands=6)
+    np.testing.assert_allclose(np.array(got), want, rtol=1e-6)
