@@ -75,3 +75,55 @@ def test_merge_apply_sql_parses_with_guard(spark):
     # parsing does not)
     plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
     assert "MergeIntoTable" in plan.getClass().getSimpleName()
+
+
+def test_versioned_store_time_travel_and_branches(spark):
+    """Executed Iceberg-surface stand-in: commits, time travel, zero-copy
+    branches, and a zero-Exchange diff between two versions."""
+    from geodiff_spark.sources.snapshots import VersionedSnapshotStore
+
+    info = TableInfo(name="vt", columns=("fid", "v"), pk=("fid",))
+    st = VersionedSnapshotStore(spark, n_buckets=8)
+    for i in range(1, 4):
+        spark.sql(f"DROP TABLE IF EXISTS vt__v{i}")
+    import os
+    lp = st._log_path("vt")
+    if os.path.exists(lp):
+        os.remove(lp)
+
+    v1 = st.commit(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "fid long, v string"),
+        "vt", info)
+    v2 = st.commit(
+        spark.createDataFrame([(1, "a2"), (3, "c"), (4, "d")], "fid long, v string"),
+        "vt", info)
+    assert (v1, v2) == (1, 2)
+
+    # time travel
+    assert sorted(map(tuple, st.read("vt", version=1).collect())) == [
+        (1, "a"), (2, "b"), (3, "c")]
+    assert sorted(map(tuple, st.read("vt").collect())) == [
+        (1, "a2"), (3, "c"), (4, "d")]
+
+    # time-travel diff, zero Exchange on the bucketed join
+    cs = st.diff_versions("vt", info, 1, 2)
+    ops = sorted(
+        (r["op"], r["old_fid"] if r["op"] != "insert" else r["new_fid"])
+        for r in cs.df.collect())
+    assert ops == [("delete", 2), ("insert", 4), ("update", 1)]
+    plan = cs.df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.replace("BroadcastExchange", "")  # none at all
+
+    # zero-copy branch at v1, advanced independently
+    st.make_branch("vt", "fix", at_version=1)
+    assert sorted(map(tuple, st.read("vt", branch="fix").collect())) == [
+        (1, "a"), (2, "b"), (3, "c")]
+    v3 = st.commit(
+        spark.createDataFrame([(1, "a"), (2, "b2"), (3, "c")], "fid long, v string"),
+        "vt", info, branch="fix")
+    assert st._log("vt")["branches"] == {"main": 2, "fix": 3}
+    assert sorted(map(tuple, st.read("vt", branch="fix").collect())) == [
+        (1, "a"), (2, "b2"), (3, "c")]
+    # main untouched
+    assert sorted(map(tuple, st.read("vt", branch="main").collect())) == [
+        (1, "a2"), (3, "c"), (4, "d")]
