@@ -1,0 +1,181 @@
+"""GOLDEN parity against the reference's OWN fixture files
+(/root/reference/geodiff/tests/testdata): GPKG databases read through
+stdlib sqlite3, expected binary changesets decoded by our wire reader.
+
+  * diff(base.gpkg, X.gpkg) == the reference's golden base-X.diff,
+    entry for entry (ops, values, definedness masks) — the fixture
+    families the reference's own CI replays (test_single_commit.cpp,
+    test_concurrent_commits.cpp);
+  * apply(base, golden diff) == the modified GPKG's table state;
+  * rebase(ours=caseNa.diff, theirs=caseNb.diff) == caseNa-rebased.diff
+    plus the golden .conflicts JSON (test_rebase_conflict cases 1-4);
+  * concat(foo-1, foo-2) == foo-result (test_concat_changesets goldens).
+"""
+
+from __future__ import annotations
+
+import json
+import sqlite3
+
+import pytest
+from pyspark.sql import types as T
+
+from geodiff_spark.changeset import ChangesetTable, TableInfo
+from geodiff_spark.functions.json_export import conflicts_json
+from geodiff_spark.operators.apply import apply_or_raise
+from geodiff_spark.operators.concat import concat_tables
+from geodiff_spark.operators.diff import diff_table
+from geodiff_spark.operators.rebase import rebase_table
+from geodiff_spark.sources.changeset_io import read_changeset_file
+
+TD = "/root/reference/geodiff/tests/testdata"
+
+_GEOM = (
+    "POINT", "LINESTRING", "POLYGON", "GEOMETRY", "MULTIPOINT",
+    "MULTILINESTRING", "MULTIPOLYGON", "CURVE", "SURFACE",
+)
+
+
+def _spark_type(decl: str) -> T.DataType:
+    """SQLite decltype -> Spark type, geometry-aware (check geometry
+    names BEFORE the INT-affinity substring rule: 'POINT' contains
+    'INT' — the classic affinity trap; sqlite affinity rules per
+    https://sqlite.org/datatype3.html, geometry set per GPKG spec)."""
+    d = (decl or "").upper()
+    if any(g in d for g in _GEOM) or "BLOB" in d or d == "":
+        return T.BinaryType()
+    if "INT" in d:
+        return T.LongType()
+    if any(k in d for k in ("REAL", "DOUB", "FLOA")):
+        return T.DoubleType()
+    if any(k in d for k in ("TEXT", "CHAR", "DATE", "CLOB")):
+        return T.StringType()
+    return T.BinaryType()
+
+
+def load_gpkg(path: str):
+    """-> (infos, spark schemas, rows) for every PK-having table."""
+    con = sqlite3.connect(path)
+    infos, schemas, rows = {}, {}, {}
+    for (name,) in con.execute(
+        "SELECT name FROM sqlite_master WHERE type='table' ORDER BY name"
+    ):
+        cols = list(con.execute(f'PRAGMA table_info("{name}")'))
+        pk = tuple(
+            c[1]
+            for c in sorted([c for c in cols if c[5] > 0], key=lambda c: c[5])
+        )
+        if not pk:
+            continue  # the reference skips tables without PKs
+        infos[name] = TableInfo(
+            name=name, columns=tuple(c[1] for c in cols), pk=pk
+        )
+        schemas[name] = [_spark_type(c[2]) for c in cols]
+        rows[name] = [tuple(r) for r in con.execute(f'SELECT * FROM "{name}"')]
+    con.close()
+    return infos, schemas, rows
+
+
+def mkdf(spark, name, rows_map, infos, schemas):
+    fields = [
+        T.StructField(c, dt)
+        for c, dt in zip(infos[name].columns, schemas[name])
+    ]
+    return spark.createDataFrame(rows_map[name], T.StructType(fields))
+
+
+def canon(df):
+    return sorted(map(repr, df.select(sorted(df.columns)).collect()))
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    return load_gpkg(f"{TD}/base.gpkg")
+
+
+DIFF_CASES = [
+    ("2_updates", "updated_A.gpkg", "base-updated_A.diff"),
+    ("2_inserts", "inserted_1_A.gpkg", "base-inserted_1_A.diff"),
+    ("2_deletes", "deleted_A.gpkg", "base-deleted_A.diff"),
+]
+
+
+@pytest.mark.parametrize("family,modified,golden", DIFF_CASES)
+def test_diff_matches_reference_golden(spark, base, family, modified, golden):
+    infos, schemas, base_rows = base
+    _, _, mod_rows = load_gpkg(f"{TD}/{family}/{modified}")
+    ref = read_changeset_file(spark, f"{TD}/{family}/{golden}", infos, schemas)
+    assert ref, "golden changeset decoded to zero tables"
+    for name, ref_cs in ref.items():
+        ours = diff_table(
+            mkdf(spark, name, base_rows, infos, schemas),
+            mkdf(spark, name, mod_rows, infos, schemas),
+            infos[name],
+        )
+        assert canon(ours.df) == canon(ref_cs.df), f"{family}/{name}"
+
+
+@pytest.mark.parametrize("family,modified,golden", DIFF_CASES)
+def test_apply_reference_golden_lands_on_modified(
+    spark, base, family, modified, golden
+):
+    infos, schemas, base_rows = base
+    _, _, mod_rows = load_gpkg(f"{TD}/{family}/{modified}")
+    ref = read_changeset_file(spark, f"{TD}/{family}/{golden}", infos, schemas)
+    for name, ref_cs in ref.items():
+        target = mkdf(spark, name, base_rows, infos, schemas)
+        got = apply_or_raise(target, ref_cs)
+        want = mkdf(spark, name, mod_rows, infos, schemas)
+        assert canon(got) == canon(want), f"{family}/{name}"
+
+
+REBASE_CASES = [
+    ("case1", False), ("case2", False), ("case3", True), ("case4", True)
+]
+
+
+@pytest.mark.parametrize("case,has_conflicts", REBASE_CASES)
+def test_rebase_matches_reference_golden(spark, base, case, has_conflicts):
+    """test_rebase_conflict (test_concurrent_commits.cpp:588-659):
+    rebase ours=caseNa.diff over theirs=caseNb.diff must equal the
+    golden caseNa-rebased.diff; conflict JSON must match .conflicts."""
+    infos, schemas, _ = base
+    rd = f"{TD}/rebase_conflict"
+    ours = read_changeset_file(spark, f"{rd}/{case}a.diff", infos, schemas)
+    theirs = read_changeset_file(spark, f"{rd}/{case}b.diff", infos, schemas)
+    golden = read_changeset_file(
+        spark, f"{rd}/{case}a-rebased.diff", infos, schemas
+    )
+    assert set(ours) == {"simple"}
+    rebased, conflicts = rebase_table(ours["simple"], theirs.get("simple"))
+
+    if case == "case2":  # same-value edits cancel -> empty changeset
+        assert rebased.df.count() == 0
+        assert golden == {} or golden["simple"].df.count() == 0
+    else:
+        assert canon(rebased.df) == canon(golden["simple"].df), case
+
+    if has_conflicts:
+        got = json.loads(
+            conflicts_json({"simple": conflicts}, {"simple": infos["simple"]})
+        )
+        want = json.loads(open(f"{rd}/{case}a-rebased.conflicts").read())
+        assert got == want, case
+    else:
+        assert conflicts.count() == 0
+
+
+def test_concat_matches_reference_golden(spark):
+    """test_concat_changesets_simple_table golden: concat(insert, update)
+    == the reference's foo-insert-update-result.diff."""
+    foo = TableInfo(name="foo", columns=("fid", "name", "rating"), pk=("fid",))
+    infos = {"foo": foo}
+    schemas = {"foo": [T.LongType(), T.StringType(), T.LongType()]}
+    cd = f"{TD}/concat"
+    a = read_changeset_file(spark, f"{cd}/foo-insert-update-1.diff", infos, schemas)
+    b = read_changeset_file(spark, f"{cd}/foo-insert-update-2.diff", infos, schemas)
+    want = read_changeset_file(
+        spark, f"{cd}/foo-insert-update-result.diff", infos, schemas
+    )
+    got = concat_tables([a["foo"], b["foo"]])
+    assert canon(got.df) == canon(want["foo"].df)
