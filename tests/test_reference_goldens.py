@@ -67,8 +67,17 @@ def load_gpkg(path: str):
         )
         if not pk:
             continue  # the reference skips tables without PKs
+        # DATETIME-declared text columns get the reference's datetime
+        # false-positive guard (sqlitedriver.cpp:542-561): equivalent
+        # instants in different text formats are NOT a change
+        ts_cols = tuple(
+            c[1] for c in cols if "DATE" in (c[2] or "").upper()
+        )
         infos[name] = TableInfo(
-            name=name, columns=tuple(c[1] for c in cols), pk=pk
+            name=name,
+            columns=tuple(c[1] for c in cols),
+            pk=pk,
+            timestamp_cols=ts_cols,
         )
         schemas[name] = [_spark_type(c[2]) for c in cols]
         rows[name] = [tuple(r) for r in con.execute(f'SELECT * FROM "{name}"')]
@@ -93,18 +102,44 @@ def base(spark):
     return load_gpkg(f"{TD}/base.gpkg")
 
 
+# (base db, modified db, golden changeset) — the exact pairs the
+# reference's own CI replays (test_driver_sqlite.cpp, test_single_commit)
 DIFF_CASES = [
-    ("2_updates", "updated_A.gpkg", "base-updated_A.diff"),
-    ("2_inserts", "inserted_1_A.gpkg", "base-inserted_1_A.diff"),
-    ("2_deletes", "deleted_A.gpkg", "base-deleted_A.diff"),
+    ("base.gpkg", "2_updates/updated_A.gpkg", "2_updates/base-updated_A.diff"),
+    ("base.gpkg", "2_inserts/inserted_1_A.gpkg", "2_inserts/base-inserted_1_A.diff"),
+    ("base.gpkg", "2_deletes/deleted_A.gpkg", "2_deletes/base-deleted_A.diff"),
+    # geometry blob update (test_driver_sqlite.cpp: apply/create 1_geopackage)
+    ("base.gpkg", "1_geopackage/modified_1_geom.gpkg",
+     "1_geopackage/base-modified_1_geom.diff"),
+    # COMPOSITE primary key (test_composite_pk)
+    ("sqlite_pks/multi_primary_key.sqlite",
+     "sqlite_pks/multi_primary_key_A.sqlite",
+     "sqlite_pks/multi_primary_key_A.diff"),
+    ("sqlite_pks/multi_primary_key.sqlite",
+     "sqlite_pks/multi_primary_key_B.sqlite",
+     "sqlite_pks/multi_primary_key_B.diff"),
+    # TEXT primary key (test_text_pk)
+    ("sqlite_pks/text_pk.sqlite", "sqlite_pks/text_pk_A.sqlite",
+     "sqlite_pks/text_pk_A.diff"),
+    # DATETIME values (create_changeset_datetime)
+    ("datetime/datetime1.gpkg", "datetime/datetime2.gpkg",
+     "datetime/datetime1-2.diff"),
+    # UTF-8 table names
+    ("utf_test_ščé/testáá.gpkg", "utf_test_ščé/testčč.gpkg",
+     "utf_test_ščé/changes.diff"),
+    # db with custom triggers (irrelevant to the diff, must not break)
+    ("gpkg_triggers/db-base.gpkg", "gpkg_triggers/db-modified.gpkg",
+     "gpkg_triggers/modified-changeset.diff"),
 ]
 
+_IDS = [g.split("/")[-1].removesuffix(".diff") for _, _, g in DIFF_CASES]
 
-@pytest.mark.parametrize("family,modified,golden", DIFF_CASES)
-def test_diff_matches_reference_golden(spark, base, family, modified, golden):
-    infos, schemas, base_rows = base
-    _, _, mod_rows = load_gpkg(f"{TD}/{family}/{modified}")
-    ref = read_changeset_file(spark, f"{TD}/{family}/{golden}", infos, schemas)
+
+@pytest.mark.parametrize("base_db,modified,golden", DIFF_CASES, ids=_IDS)
+def test_diff_matches_reference_golden(spark, base_db, modified, golden):
+    infos, schemas, base_rows = load_gpkg(f"{TD}/{base_db}")
+    _, _, mod_rows = load_gpkg(f"{TD}/{modified}")
+    ref = read_changeset_file(spark, f"{TD}/{golden}", infos, schemas)
     assert ref, "golden changeset decoded to zero tables"
     for name, ref_cs in ref.items():
         ours = diff_table(
@@ -112,21 +147,37 @@ def test_diff_matches_reference_golden(spark, base, family, modified, golden):
             mkdf(spark, name, mod_rows, infos, schemas),
             infos[name],
         )
-        assert canon(ours.df) == canon(ref_cs.df), f"{family}/{name}"
+        assert canon(ours.df) == canon(ref_cs.df), f"{golden}/{name}"
 
 
-@pytest.mark.parametrize("family,modified,golden", DIFF_CASES)
+@pytest.mark.parametrize("base_db,modified,golden", DIFF_CASES, ids=_IDS)
 def test_apply_reference_golden_lands_on_modified(
-    spark, base, family, modified, golden
+    spark, base_db, modified, golden
 ):
-    infos, schemas, base_rows = base
-    _, _, mod_rows = load_gpkg(f"{TD}/{family}/{modified}")
-    ref = read_changeset_file(spark, f"{TD}/{family}/{golden}", infos, schemas)
+    infos, schemas, base_rows = load_gpkg(f"{TD}/{base_db}")
+    _, _, mod_rows = load_gpkg(f"{TD}/{modified}")
+    ref = read_changeset_file(spark, f"{TD}/{golden}", infos, schemas)
+    from pyspark.sql import functions as F
+
     for name, ref_cs in ref.items():
         target = mkdf(spark, name, base_rows, infos, schemas)
         got = apply_or_raise(target, ref_cs)
         want = mkdf(spark, name, mod_rows, infos, schemas)
-        assert canon(got) == canon(want), f"{family}/{name}"
+
+        def norm(df, info=infos[name]):
+            # datetime-equivalent states in different text formats are
+            # the SAME state (a guarded update never rewrites them) —
+            # normalize like the reference's equals() comparison
+            return df.select(
+                *[
+                    F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSS").alias(c)
+                    if c in info.timestamp_cols
+                    else F.col(c)
+                    for c in info.columns
+                ]
+            )
+
+        assert canon(norm(got)) == canon(norm(want)), f"{golden}/{name}"
 
 
 REBASE_CASES = [
