@@ -230,3 +230,23 @@ def test_concat_matches_reference_golden(spark):
     )
     got = concat_tables([a["foo"], b["foo"]])
     assert canon(got.df) == canon(want["foo"].df)
+
+
+def test_json_export_matches_reference_golden(spark):
+    """Our JSON formatter reproduces the reference's golden exports for
+    2_updates (entry JSON incl. base64 geometry blobs, and summary)."""
+    from geodiff_spark.functions.json_export import changeset_json, summary_json
+
+    infos, schemas, _ = load_gpkg(f"{TD}/base.gpkg")
+    ref = read_changeset_file(
+        spark, f"{TD}/2_updates/base-updated_A.diff", infos, schemas
+    )
+    got = json.loads(changeset_json(ref))
+    want = json.loads(open(f"{TD}/2_updates/base-updated_A.json").read())
+    assert got == want
+
+    got_s = json.loads(summary_json(ref))
+    want_s = json.loads(
+        open(f"{TD}/2_updates/base-updated_A-summary.json").read()
+    )
+    assert got_s == want_s
