@@ -80,6 +80,9 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--json", action="store_true")
     d.add_argument("--summary", action="store_true")
     d.add_argument("--binary", action="store_true")
+    # normalize-then-diff across drivers (createChangesetDr): inputs may
+    # be parquet dirs, .csv/.json/.orc files, or jdbc: URLs
+    d.add_argument("--cross-driver", action="store_true", dest="cross_driver")
 
     a = sub.add_parser("apply")
     a.add_argument("target"); a.add_argument("cs"); a.add_argument("out")
@@ -130,11 +133,24 @@ def main(argv=None) -> int:
         spark.stop()
 
 
+def _load_any(spark, url: str):
+    """Any driver URL (parquet dir, .csv/.json/.orc, jdbc:) — the
+    cross-driver surface of sources.drivers (createChangesetDr)."""
+    from .sources.drivers import load_table
+
+    return load_table(spark, url)
+
+
 def _dispatch(spark: SparkSession, args) -> int:
     if args.cmd == "diff":
-        base = spark.read.parquet(args.base)
-        mod = spark.read.parquet(args.modified)
-        cs = diff_table(base, mod, _info(base, args))
+        base = _load_any(spark, args.base)
+        mod = _load_any(spark, args.modified)
+        if args.cross_driver:
+            from .sources.drivers import diff_cross_driver
+
+            cs = diff_cross_driver(base, mod, _info(base, args))
+        else:
+            cs = diff_table(base, mod, _info(base, args))
         _write_cs(cs, args.out, args)
         if args.json:
             print(changeset_json({cs.info.name: cs}))

@@ -105,3 +105,24 @@ def test_cli_rebase_diff(spark, data, capsys, tmp_path):
     vals = {c["column"]: c for c in doc["geodiff"][0]["changes"]}
     assert vals[1]["old"] == "a-theirs" and vals[1]["new"] == "a-ours"
     assert vals[1]["base"] == "a"
+
+
+def test_cli_cross_driver_diff_csv(spark, data, tmp_path, capsys):
+    """diff --cross-driver with a CSV modified side (normalize-then-diff
+    through the createChangesetDr surface)."""
+    mod = spark.createDataFrame(
+        [(1, "a2", 1.0), (3, "c", 3.0), (4, "d", 4.0)],
+        "fid int, name string, x double",  # int32 on purpose
+    )
+    csv_path = str(tmp_path / "mod_csv.csv")
+    mod.coalesce(1).write.option("header", "true").csv(csv_path)
+    rc = cli._dispatch(
+        spark,
+        cli_args("diff", str(data / "base"), csv_path, str(tmp_path / "cs"),
+                 "--cross-driver", "--summary"),
+    )
+    assert rc == 0
+    doc = json.loads(capsys.readouterr().out)
+    assert doc["geodiff_summary"][0] == {
+        "table": "table", "insert": 1, "update": 1, "delete": 1
+    }
