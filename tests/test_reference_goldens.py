@@ -250,3 +250,75 @@ def test_json_export_matches_reference_golden(spark):
         open(f"{TD}/2_updates/base-updated_A-summary.json").read()
     )
     assert got_s == want_s
+
+
+# ---------------------------------------------------------------------------
+# full rebase pipeline vs golden MERGED gpkg states
+# (_test in test_concurrent_commits.cpp:14-120 — A = theirs, B = ours,
+# final = B rebased on top of A applied over A's state)
+# ---------------------------------------------------------------------------
+
+def _layer_tables(loaded):
+    """The reference diffs ONLY layer tables: gpkg_*, rtree_* and
+    sqlite_sequence are skipped (sqlitedriver.cpp:225-233)."""
+    infos, schemas, rows = loaded
+    keep = {
+        n for n in infos
+        if not n.startswith(("gpkg_", "rtree_")) and n != "sqlite_sequence"
+    }
+    return (
+        {n: infos[n] for n in keep},
+        {n: schemas[n] for n in keep},
+        {n: rows[n] for n in keep},
+    )
+
+
+REBASE_PIPELINE_CASES = [
+    # (family, A=theirs, B=ours, expected merged state, expected conflicts)
+    ("2_inserts", "inserted_1_A.gpkg", "inserted_1_B.gpkg",
+     "merged_1_A_1_B.gpkg", 0),
+    ("2_updates", "updated_A.gpkg", "updated_B.gpkg",
+     "merged_1_A_1_B.gpkg", 1),
+    ("2_deletes", "deleted_A.gpkg", "deleted_B.gpkg", "merged_A_B.gpkg", 0),
+    ("delete_update", "deleted_A.gpkg", "updated_B.gpkg", "deleted_A.gpkg", 1),
+    ("update_delete", "updated_A.gpkg", "deleted_B.gpkg", "deleted_B.gpkg", 0),
+    # issue #62: concurrent inserts — B's 4,5,6 remap to 6,7,8 incl. the
+    # CASCADE (B's untouched 6 collides with the freshly allocated 6)
+    ("insert_multiple", "a_4_5.gpkg", "b_4_5_6.gpkg", "ab_rebased.gpkg", 0),
+    ("insert_multiple", "a_4_5.gpkg", "c_4_5_6_7_8.gpkg", "ac_rebased.gpkg", 0),
+]
+
+_RIDS = [f"{fam}-{exp.removesuffix('.gpkg')}"
+         for fam, _, _, exp, _ in REBASE_PIPELINE_CASES]
+
+
+@pytest.mark.parametrize(
+    "family,theirs_db,ours_db,expected_db,n_conf",
+    REBASE_PIPELINE_CASES,
+    ids=_RIDS,
+)
+def test_rebase_pipeline_matches_reference_merged_state(
+    spark, family, theirs_db, ours_db, expected_db, n_conf
+):
+    from geodiff_spark.api import Dataset, rebase
+    from geodiff_spark.plans.cache import cache_scope
+
+    infos, schemas, base_rows = _layer_tables(load_gpkg(f"{TD}/base.gpkg"))
+    _, _, their_rows = _layer_tables(load_gpkg(f"{TD}/{family}/{theirs_db}"))
+    _, _, our_rows = _layer_tables(load_gpkg(f"{TD}/{family}/{ours_db}"))
+    _, _, exp_rows = _layer_tables(load_gpkg(f"{TD}/{family}/{expected_db}"))
+
+    def ds(rows_map):
+        return Dataset(
+            tables={n: mkdf(spark, n, rows_map, infos, schemas) for n in infos},
+            infos=dict(infos),
+        )
+
+    with cache_scope():
+        final, conflicts = rebase(ds(base_rows), ds(their_rows), ds(our_rows))
+        got_conf = sum(df.count() for df in conflicts.values())
+        for name in infos:
+            got = canon(final.tables[name])
+            want = canon(mkdf(spark, name, exp_rows, infos, schemas))
+            assert got == want, f"{family}/{name}"
+    assert got_conf == n_conf, family
