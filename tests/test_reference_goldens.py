@@ -322,3 +322,25 @@ def test_rebase_pipeline_matches_reference_merged_state(
             want = canon(mkdf(spark, name, exp_rows, infos, schemas))
             assert got == want, f"{family}/{name}"
     assert got_conf == n_conf, family
+
+
+def test_complex_diff_json_matches_reference_golden(spark):
+    """test_complex_geopackage (pygeodiff/tests/test_single_commit.py:82):
+    diff(base, complex1) exported as JSON equals the reference's golden
+    complex1.json (entry multiset — inserts/updates/deletes with nulls,
+    base64 geometries, int/real/text values)."""
+    from geodiff_spark.functions.json_export import changeset_json
+
+    infos, schemas, base_rows = load_gpkg(f"{TD}/base.gpkg")
+    _, _, mod_rows = load_gpkg(f"{TD}/complex/complex1.gpkg")
+    name = "simple"
+    cs = diff_table(
+        mkdf(spark, name, base_rows, infos, schemas),
+        mkdf(spark, name, mod_rows, infos, schemas),
+        infos[name],
+    )
+    got = json.loads(changeset_json({name: cs}))
+    want = json.loads(open(f"{TD}/complex/complex1.json").read())
+    assert len(got["geodiff"]) == 6  # the reference's expected_changes
+    key = lambda e: json.dumps(e, sort_keys=True)
+    assert sorted(got["geodiff"], key=key) == sorted(want["geodiff"], key=key)
