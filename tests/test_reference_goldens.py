@@ -44,7 +44,7 @@ def _spark_type(decl: str) -> T.DataType:
     d = (decl or "").upper()
     if any(g in d for g in _GEOM) or "BLOB" in d or d == "":
         return T.BinaryType()
-    if "INT" in d:
+    if "INT" in d or "BOOL" in d:  # reference: boolean -> int base type
         return T.LongType()
     if any(k in d for k in ("REAL", "DOUB", "FLOA")):
         return T.DoubleType()
@@ -344,3 +344,70 @@ def test_complex_diff_json_matches_reference_golden(spark):
     assert len(got["geodiff"]) == 6  # the reference's expected_changes
     key = lambda e: json.dumps(e, sort_keys=True)
     assert sorted(got["geodiff"], key=key) == sorted(want["geodiff"], key=key)
+
+
+def test_skip_tables_matches_reference_scenario(spark):
+    """test_skip_create (test_skip_tables.cpp:10-43): diffing base vs
+    modified_all while skipping 'lines' yields exactly the points
+    changes (4 entries), and applying them lands on modified_points'
+    layer state."""
+    from geodiff_spark.api import Dataset, create_changeset
+    from geodiff_spark.operators.apply import apply_changeset
+
+    sd = f"{TD}/skip_tables"
+    infos, schemas, base_rows = _layer_tables(load_gpkg(f"{sd}/base.gpkg"))
+    _, _, all_rows = _layer_tables(load_gpkg(f"{sd}/modified_all.gpkg"))
+    _, _, pts_rows = _layer_tables(load_gpkg(f"{sd}/modified_points.gpkg"))
+    assert "lines" in infos and "points" in infos
+
+    def ds(rows_map, **kw):
+        return Dataset(
+            tables={n: mkdf(spark, n, rows_map, infos, schemas) for n in infos},
+            infos=dict(infos),
+            **kw,
+        )
+
+    cs = create_changeset(
+        ds(base_rows, skip_tables=("lines",)),
+        ds(all_rows, skip_tables=("lines",)),
+    )
+    assert set(cs) == {"points"}
+    assert cs["points"].df.count() == 4  # reference's changesCount
+
+    patched = apply_changeset(
+        {n: mkdf(spark, n, base_rows, infos, schemas) for n in infos}, cs
+    )
+    assert canon(patched["points"]) == canon(
+        mkdf(spark, "points", pts_rows, infos, schemas)
+    )
+    # untouched layer stays at base state (skip semantics)
+    assert canon(patched["lines"]) == canon(
+        mkdf(spark, "lines", base_rows, infos, schemas)
+    )
+
+
+def test_capital_letters_roundtrip(spark):
+    """capital-letters fixtures: mixed-case table/column names survive
+    diff -> wire -> decode -> apply round trip."""
+    from geodiff_spark.sources.changeset_io import (
+        read_changeset_file,
+        write_changeset_file,
+    )
+
+    cd = f"{TD}/capital-letters"
+    infos, schemas, base_rows = _layer_tables(load_gpkg(f"{cd}/db-capital-base.gpkg"))
+    _, _, mod_rows = _layer_tables(load_gpkg(f"{cd}/db-capital-modified.gpkg"))
+    assert infos, "no layer tables found"
+    import tempfile
+
+    for name in infos:
+        a = mkdf(spark, name, base_rows, infos, schemas)
+        b = mkdf(spark, name, mod_rows, infos, schemas)
+        cs = diff_table(a, b, infos[name])
+        if cs.df.isEmpty():
+            continue
+        with tempfile.NamedTemporaryFile(suffix=".diff") as f:
+            write_changeset_file({name: cs}, f.name)
+            back = read_changeset_file(spark, f.name, infos, schemas)[name]
+        assert canon(back.df) == canon(cs.df)
+        assert canon(apply_or_raise(a, back)) == canon(b)
