@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 
 from geodiff_spark.changeset import TableInfo
 from geodiff_spark.functions import text as TX
+from geodiff_spark.functions import webtext as WX
+from geodiff_spark.operators.dedup import shingles_sql
 from geodiff_spark.operators.apply import apply_or_raise
 from geodiff_spark.operators.concat import concat_tables
 from geodiff_spark.operators.dedup import (
@@ -886,6 +888,214 @@ def q_salted_cell_counts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# web-corpus curation queries (functions/webtext.py + operators/corpus.py)
+# ---------------------------------------------------------------------------
+
+_SPAN = 8  # span-dedup chunk width (tokens)
+_NGRAM_DECON = 5  # decontamination n-gram width
+_BENCH_W = "doc_id % 17 = 0"  # synthetic "benchmark" slice of documents
+_CAP_K = 12  # per-domain document cap
+_RATES = {"en": 0.8, "de": 0.5, "fr": 0.25, "es": 0.1}  # zh -> default
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals — zero-shuffle narrow
+    projection (sequential folds over the token array, JVM codegen)."""
+    d = _spread_docs(spark, sf_dir)
+    toks = TX.tokens_expr(F.col("text"))
+    return d.select(
+        "doc_id",
+        WX.max_run_frac_expr(toks).alias("top_unigram_frac"),
+        WX.max_run_frac_expr(WX.bigrams_expr(toks)).alias("top_bigram_frac"),
+        WX.unique_frac_expr(toks).alias("unique_word_frac"),
+    )
+
+
+def _repetition_signals_sql():
+    toks = TX.tokens_sql("text")
+    return f"""
+    SELECT doc_id,
+      {WX.max_run_frac_sql(toks)} AS top_unigram_frac,
+      {WX.max_run_frac_sql(WX.bigrams_sql(toks))} AS top_bigram_frac,
+      {WX.unique_frac_sql(toks)} AS unique_word_frac
+    FROM documents
+    """
+
+
+def _docs_with_url(spark, sf_dir):
+    d = _spread_docs(spark, sf_dir)
+    return d.withColumn(
+        "url", WX.synth_url_expr(F.col("doc_id"), F.col("source"))
+    )
+
+
+_URL_SQL = WX.synth_url_sql("doc_id", "source")
+
+
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization + registrable-domain extraction (the key
+    normalization before per-domain grouping). Narrow projection."""
+    d = _docs_with_url(spark, sf_dir)
+    canon = WX.canonical_url_expr(F.col("url"))
+    return d.select(
+        "doc_id",
+        canon.alias("url_canon"),
+        WX.domain_expr(canon).alias("domain"),
+    )
+
+
+def _url_canonical_sql():
+    canon = WX.canonical_url_sql(_URL_SQL)
+    return f"""
+    SELECT doc_id, {canon} AS url_canon, {WX.domain_sql(canon)} AS domain
+    FROM documents
+    """
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-domain document cap (keep best-{_CAP_K} by quality): rank
+    window + k-filter — Spark rewrites to WindowGroupLimit so a
+    mega-domain never materializes beyond k rows per map partition."""
+    from geodiff_spark.operators.corpus import domain_cap
+
+    d = _docs_with_url(spark, sf_dir)
+    d = d.select(
+        "doc_id",
+        WX.domain_expr(WX.canonical_url_expr(F.col("url"))).alias("domain"),
+        TX.quality_expr(F.col("text")).alias("q"),
+    )
+    capped = domain_cap(d, "domain", [F.desc("q"), F.asc("doc_id")], _CAP_K)
+    return capped.select("doc_id", "domain", "rk")
+
+
+def _domain_cap_sql():
+    canon = WX.canonical_url_sql(_URL_SQL)
+    return f"""
+    SELECT doc_id, domain, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT doc_id, domain, q,
+             row_number() OVER (PARTITION BY domain ORDER BY q DESC, doc_id) AS rk
+      FROM (
+        SELECT doc_id, {WX.domain_sql(canon)} AS domain,
+               {TX.quality_sql('text')} AS q
+        FROM documents
+      )
+    ) WHERE rk <= {_CAP_K}
+    """
+
+
+def q_span_dedup(spark, sf_dir):
+    """C4-style cross-document span dedup: global first occurrence of
+    each {_SPAN}-token chunk wins; docs rebuilt from surviving chunks."""
+    from geodiff_spark.operators.corpus import span_dedup
+
+    return span_dedup(_spread_docs(spark, sf_dir), "doc_id", "text", _SPAN)
+
+
+def _span_dedup_sql():
+    toks = TX.tokens_sql("text")
+    return f"""
+    WITH tk AS (SELECT doc_id, {toks} AS t FROM documents),
+    ix AS (
+      SELECT doc_id, t,
+             unnest(range(0, CAST(ceil(len(t) / {_SPAN}.0) AS BIGINT))) AS i
+      FROM tk
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             array_to_string(list_slice(t, i * {_SPAN} + 1, i * {_SPAN} + {_SPAN}), ' ') AS chunk
+      FROM ix
+    ),
+    firsts AS (
+      SELECT doc_id, pos, chunk,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+      FROM chunks
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS kept_text,
+             count(*) AS n_kept
+      FROM firsts WHERE rn = 1 GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, CAST(ceil(len(t) / {_SPAN}.0) AS BIGINT) AS n_spans FROM tk)
+    SELECT tot.doc_id, coalesce(agg.kept_text, '') AS kept_text, tot.n_spans,
+           CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept
+    FROM tot LEFT JOIN agg USING (doc_id)
+    """
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing any {_NGRAM_DECON}-gram
+    with the benchmark slice; benchmark grams broadcast (small side)."""
+    from geodiff_spark.operators.corpus import decontaminate
+
+    d = _spread_docs(spark, sf_dir)
+    bench = d.filter(F.expr(_BENCH_W))
+    corpus = d.filter(~F.expr(_BENCH_W))
+    return decontaminate(corpus, bench, "doc_id", "text", _NGRAM_DECON)
+
+
+def _decontaminate_sql():
+    grams = shingles_sql("text", _NGRAM_DECON)
+    return f"""
+    WITH bench AS (
+      SELECT DISTINCT g FROM (
+        SELECT unnest({grams}) AS g FROM documents WHERE {_BENCH_W})
+    ),
+    corp AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, unnest({grams}) AS g FROM documents WHERE NOT ({_BENCH_W}))
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM corp JOIN bench USING (g) GROUP BY doc_id
+    """
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII detection + typed-placeholder redaction over documents with
+    deterministically injected emails/phones/IPs."""
+    d = _spread_docs(spark, sf_dir)
+    ptext = WX.synth_pii_expr(F.col("text"), F.col("doc_id"))
+    counts = WX.pii_counts_exprs(ptext)
+    return d.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        counts["n_ips"].alias("n_ips"),
+        WX.redact_expr(ptext).alias("redacted"),
+    )
+
+
+def _pii_redact_sql():
+    ptext = WX.synth_pii_sql("text", "doc_id")
+    c = WX.pii_counts_sql(ptext)
+    return f"""
+    SELECT doc_id, {c['n_emails']} AS n_emails, {c['n_phones']} AS n_phones,
+           {c['n_ips']} AS n_ips, {WX.redact_sql(ptext)} AS redacted
+    FROM documents
+    """
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language re-balancing: keep iff
+    content-fingerprint bucket < rate(lang)·1000 — retry-idempotent,
+    cluster-size-invariant (no rand())."""
+    from geodiff_spark.operators.corpus import stratified_sample
+
+    d = _spread_docs(spark, sf_dir)
+    return stratified_sample(d, "text", "lang", _RATES, default_rate=0.05).select(
+        "doc_id", "lang", "bucket"
+    )
+
+
+def _stratified_sample_sql():
+    from geodiff_spark.operators.corpus import stratified_sample_sql
+
+    inner = stratified_sample_sql(
+        "documents", TX.fingerprint_sql("text"), "lang", _RATES, default_rate=0.05
+    )
+    return f"SELECT doc_id, lang, bucket FROM ({inner})"
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -937,6 +1147,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_extract": q_text_extract,
         "quality_filter": q_quality_filter,
         "salted_cell_counts": q_salted_cell_counts,
+        "repetition_signals": q_repetition_signals,
+        "url_canonical": q_url_canonical,
+        "domain_cap": q_domain_cap,
+        "span_dedup": q_span_dedup,
+        "decontaminate": q_decontaminate,
+        "pii_redact": q_pii_redact,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -967,6 +1184,13 @@ def oracle_sql() -> dict[str, str]:
         "text_extract": _TEXT_EXTRACT_SQL,
         "quality_filter": _quality_filter_sql(),
         "salted_cell_counts": _cell_assign_sql(),
+        "repetition_signals": _repetition_signals_sql(),
+        "url_canonical": _url_canonical_sql(),
+        "domain_cap": _domain_cap_sql(),
+        "span_dedup": _span_dedup_sql(),
+        "decontaminate": _decontaminate_sql(),
+        "pii_redact": _pii_redact_sql(),
+        "stratified_sample": _stratified_sample_sql(),
         # round 2: the LSH family is hard-verified too — the oracles
         # recompute FNV-1a/splitmix64 signatures, simhashes, and
         # hyperplane buckets from scratch in DuckDB (functions/hash_sql.py)

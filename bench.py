@@ -282,6 +282,8 @@ def run_suite() -> None:
         "minhash_lsh", "simhash", "ann_bruteforce", "ann_ivf", "cosine_dups_lsh",
         "events_hourly", "lineitem_pricing", "dump", "kring",
         "text_extract", "quality_filter", "salted_cell_counts",
+        "repetition_signals", "url_canonical", "domain_cap", "span_dedup",
+        "decontaminate", "pii_redact", "stratified_sample",
     ]
     qs = E.queries()
     # warmup at the smallest sf: codegen/JIT caches, python worker pool,

@@ -1,0 +1,191 @@
+"""Corpus-level web-text operators: per-domain caps, C4-style span
+dedup, benchmark decontamination, stratified sampling.
+
+These are the cross-document companions to the per-row kernels in
+functions/webtext.py. Each is expressed as declarative DataFrame ops so
+Catalyst picks the physical strategy; every one has a DuckDB oracle in
+__spark_entry__.py.
+
+Scale shapes (100 TB):
+  * domain_cap     — rank window partitioned by domain with a k-filter:
+                     Spark rewrites it to WindowGroupLimit (partial
+                     per-partition top-k before the shuffle), so a
+                     mega-domain never materializes more than k rows per
+                     map partition (plan-asserted in tests).
+  * span_dedup     — one shuffle on the span hash (linear), winner =
+                     min(doc_id, pos) per span; no driver state.
+  * decontaminate  — benchmark n-gram set is small by construction
+                     (benchmarks are ~10^3-10^5 docs even when the corpus
+                     is 10^10) → broadcast semi-join; corpus side streams.
+  * stratified_sample — pure narrow filter on a deterministic per-row
+                     hash; no shuffle, reproducible across retries (the
+                     same discipline as operators/skew.py's xxhash64
+                     salts — ADVICE r1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from geodiff_spark.functions.text import fingerprint_expr, tokens_expr
+from geodiff_spark.operators.dedup import shingles_expr
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    order_by: list[Column],
+    k: int,
+) -> DataFrame:
+    """Keep at most ``k`` rows per domain, best-first by ``order_by``
+    (the caller includes a unique tiebreaker for determinism). The
+    standard per-domain document cap of web-corpus curation (C4 keeps
+    ≤ N pages per domain to stop boilerplate-heavy hosts dominating).
+
+    Emits the rank so downstream can distinguish 'best of domain' from
+    'barely kept'.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(domain_col).orderBy(*order_by)
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .withColumn("rk", F.col("rk").cast("long"))
+    )
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span: int = 8,
+) -> DataFrame:
+    """C4-style cross-document span dedup: split each document into
+    non-overlapping ``span``-token chunks; a chunk survives only in its
+    globally FIRST occurrence (min (doc_id, position)); every later
+    occurrence anywhere in the corpus is dropped. Returns per-doc
+    (id, kept_text, n_spans, n_kept) with kept_text rebuilt from the
+    surviving chunks in document order.
+
+    One linear shuffle keyed by chunk text (hash at scale); the
+    first-occurrence winner is a single min() aggregation — the same
+    first-wins contract as streaming/dedup.py, batch-shaped.
+    """
+    toks = tokens_expr(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(span)).cast("int")
+    chunks = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * span + 1, span)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = (
+        df.select(F.col(id_col), chunks.alias("chunks"))
+        .select(id_col, F.posexplode("chunks").alias("pos", "chunk"))
+    )
+    # global first occurrence per chunk: one shuffle, min over a packed
+    # (doc_id, pos) key — no window needed, no skew (chunk values are
+    # near-unique by construction after the first dedup pass)
+    first = ex.groupBy("chunk").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first")
+    )
+    kept = (
+        ex.join(first, "chunk")
+        .filter((F.col(f"first.{id_col}") == F.col(id_col)) & (F.col("first.pos") == F.col("pos")))
+        .drop("first")
+    )
+    per_doc = kept.groupBy(id_col).agg(
+        F.concat_ws(" ", F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+            lambda s: s.chunk,
+        )).alias("kept_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col), n_chunks.cast("long").alias("n_spans")
+    )
+    return totals.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+        F.col("n_spans"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word ``n``-gram with the benchmark set (the standard 13-gram overlap
+    check of LLM training pipelines, n scaled to the test corpus).
+    Returns (id, n_hits) for contaminated docs — n_hits = number of
+    DISTINCT corpus-doc n-grams that appear in the benchmark.
+
+    The benchmark n-gram set is broadcast (small side by construction);
+    the corpus side is a streaming explode + semi-join + count — never
+    materializes the cross product.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(shingles_expr(F.col(text_col), n)).alias("g"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(shingles_expr(F.col(text_col), n)).alias("g")
+    ).distinct()
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    text_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff
+    fingerprint(text) mod ``buckets`` < rate(stratum)·buckets. The
+    fingerprint is the content-derived poly-31 hash (functions/text.py),
+    so the decision is a pure function of row content — identical across
+    task retries and cluster sizes (no rand(); SPARK-23207 discipline),
+    and identical in the DuckDB oracle.
+
+    This is the language/source re-balancing step of corpus curation
+    (e.g. upsample low-resource languages, downsample boilerplate-heavy
+    sources).
+    """
+    bucket = F.pmod(fingerprint_expr(F.col(text_col)), F.lit(buckets))
+    thresh = F.lit(int(default_rate * buckets))
+    for stratum, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(strata_col) == stratum, F.lit(int(rate * buckets))
+        ).otherwise(thresh)
+    return df.withColumn("bucket", bucket.cast("long")).filter(F.col("bucket") < thresh)
+
+
+def stratified_sample_sql(
+    table: str,
+    text_sql_fingerprint: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    buckets: int = 1000,
+) -> str:
+    """DuckDB oracle twin of stratified_sample's keep-predicate."""
+    cases = " ".join(
+        f"WHEN {strata_col} = '{s}' THEN {int(r * buckets)}"
+        for s, r in sorted(rates.items())
+    )
+    thresh = f"(CASE {cases} ELSE {int(default_rate * buckets)} END)"
+    bucket = f"(({text_sql_fingerprint}) % {buckets} + {buckets}) % {buckets}"
+    return f"SELECT *, CAST({bucket} AS BIGINT) AS bucket FROM {table} WHERE {bucket} < {thresh}"
