@@ -1074,6 +1074,48 @@ def _pii_redact_sql():
     """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Pair→cluster stage of fuzzy dedup: connected components
+    (large-star/small-star, O(log n) rounds) over the cosine-LSH
+    candidate pairs; every vector labeled with its component (= min
+    vec_id reachable) + cluster size. Survivors = (vec_id == component).
+    Oracle: DuckDB recursive CTE over the bit-identically replayed LSH
+    pairs."""
+    from geodiff_spark.operators.cluster import dedup_clusters
+
+    emb = _emb(spark, sf_dir)
+    pairs = cosine_dup_pairs(
+        emb, threshold=0.4, dim=64, exact=False, n_planes=32, bands=4
+    )
+    return dedup_clusters(pairs, emb.select("vec_id"), "vec_id")
+
+
+def _dedup_clusters_sql():
+    from geodiff_spark.functions.hash_sql import cosine_lsh_oracle_sql
+
+    pairs = cosine_lsh_oracle_sql(
+        "SELECT vec_id, embedding FROM embeddings", "vec_id", "embedding",
+        dim=64, threshold=0.4, n_planes=32, bands=4, seed=13,
+    )
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    walk(n, lbl) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.n
+    ),
+    comp AS (SELECT n, min(lbl) AS component FROM walk GROUP BY n)
+    SELECT n AS vec_id, component,
+           CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS csize
+    FROM comp
+    """
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-language re-balancing: keep iff
     content-fingerprint bucket < rate(lang)·1000 — retry-idempotent,
@@ -1154,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
         "stratified_sample": q_stratified_sample,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1191,6 +1234,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontaminate_sql(),
         "pii_redact": _pii_redact_sql(),
         "stratified_sample": _stratified_sample_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         # round 2: the LSH family is hard-verified too — the oracles
         # recompute FNV-1a/splitmix64 signatures, simhashes, and
         # hyperplane buckets from scratch in DuckDB (functions/hash_sql.py)

@@ -283,7 +283,7 @@ def run_suite() -> None:
         "events_hourly", "lineitem_pricing", "dump", "kring",
         "text_extract", "quality_filter", "salted_cell_counts",
         "repetition_signals", "url_canonical", "domain_cap", "span_dedup",
-        "decontaminate", "pii_redact", "stratified_sample",
+        "decontaminate", "pii_redact", "stratified_sample", "dedup_clusters",
     ]
     qs = E.queries()
     # warmup at the smallest sf: codegen/JIT caches, python worker pool,
