@@ -991,10 +991,12 @@ def q_span_dedup(spark, sf_dir):
     return span_dedup(_spread_docs(spark, sf_dir), "doc_id", "text", _SPAN)
 
 
-def _span_dedup_sql():
+def _span_dedup_sql_for(table: str) -> str:
+    """Parametric DuckDB twin of operators.corpus.span_dedup (table must
+    expose doc_id + text)."""
     toks = TX.tokens_sql("text")
     return f"""
-    WITH tk AS (SELECT doc_id, {toks} AS t FROM documents),
+    WITH tk AS (SELECT doc_id, {toks} AS t FROM {table}),
     ix AS (
       SELECT doc_id, t,
              unnest(range(0, CAST(ceil(len(t) / {_SPAN}.0) AS BIGINT))) AS i
@@ -1020,6 +1022,10 @@ def _span_dedup_sql():
            CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept
     FROM tot LEFT JOIN agg USING (doc_id)
     """
+
+
+def _span_dedup_sql():
+    return _span_dedup_sql_for("documents")
 
 
 def q_decontaminate(spark, sf_dir):
@@ -1071,6 +1077,93 @@ def _pii_redact_sql():
     SELECT doc_id, {c['n_emails']} AS n_emails, {c['n_phones']} AS n_phones,
            {c['n_ips']} AS n_ips, {WX.redact_sql(ptext)} AS redacted
     FROM documents
+    """
+
+
+_PIPE_MIN_Q = 0.30
+_PIPE_MIN_TOK = 10
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """Flagship end-to-end corpus curation — the stages every LLM
+    training pipeline chains, composed from this engine's operators:
+      1. score: quality + token count, keep q>=0.30 and n_tok>=10
+      2. stratified sample by language (content-fingerprint buckets)
+      3. decontaminate: drop docs sharing any 5-gram with the benchmark
+      4. span dedup among survivors (global first-occurrence wins)
+      5. per-domain cap (best-12 by quality)
+    Output: (doc_id, domain, q, n_kept, rk). Every stage is the same
+    oracle-verified operator graded individually — this query proves
+    they COMPOSE (one DuckDB oracle states the whole pipeline)."""
+    from geodiff_spark.operators.corpus import (
+        decontaminate,
+        domain_cap,
+        span_dedup,
+        stratified_sample,
+    )
+
+    d = _spread_docs(spark, sf_dir)
+    scored = (
+        d.withColumn("q", TX.quality_expr(F.col("text")))
+        .withColumn("n_tok", TX.token_count_expr(F.col("text")))
+        .filter((F.col("q") >= _PIPE_MIN_Q) & (F.col("n_tok") >= _PIPE_MIN_TOK))
+    )
+    sampled = stratified_sample(scored, "text", "lang", _RATES, default_rate=0.05)
+    bench = d.filter(F.expr(_BENCH_W))
+    corpus = sampled.filter(~F.expr(_BENCH_W))
+    dirty = decontaminate(corpus, bench, "doc_id", "text", _NGRAM_DECON)
+    clean = corpus.join(dirty, "doc_id", "left_anti")
+    deduped = span_dedup(clean, "doc_id", "text", _SPAN)
+    enriched = clean.select(
+        "doc_id", "q",
+        WX.domain_expr(
+            WX.canonical_url_expr(WX.synth_url_expr(F.col("doc_id"), F.col("source")))
+        ).alias("domain"),
+    ).join(deduped.select("doc_id", "n_kept"), "doc_id")
+    capped = domain_cap(enriched, "domain", [F.desc("q"), F.asc("doc_id")], _CAP_K)
+    return capped.select("doc_id", "domain", "q", "n_kept", "rk")
+
+
+def _curation_pipeline_sql():
+    canon = WX.canonical_url_sql(_URL_SQL)
+    grams = shingles_sql("text", _NGRAM_DECON)
+    scored = f"""(
+      SELECT doc_id, text, lang, source,
+             {TX.quality_sql('text')} AS q,
+             {TX.token_count_sql('text')} AS n_tok
+      FROM documents)"""
+    from geodiff_spark.operators.corpus import stratified_sample_sql
+
+    sampled = stratified_sample_sql(
+        f"{scored} s", TX.fingerprint_sql("text"), "lang", _RATES, default_rate=0.05
+    )
+    return f"""
+    WITH sampled AS (
+      SELECT * FROM ({sampled}) WHERE q >= {_PIPE_MIN_Q} AND n_tok >= {_PIPE_MIN_TOK}
+    ),
+    bench AS (
+      SELECT DISTINCT g FROM (
+        SELECT unnest({grams}) AS g FROM documents WHERE {_BENCH_W})
+    ),
+    corpus AS (SELECT * FROM sampled WHERE NOT ({_BENCH_W})),
+    dirty AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, unnest({grams}) AS g FROM corpus)
+      WHERE g IN (SELECT g FROM bench)
+    ),
+    clean AS (SELECT * FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+    deduped AS ({_span_dedup_sql_for('clean')}),
+    enriched AS (
+      SELECT c.doc_id, c.q, {WX.domain_sql(canon)} AS domain, d.n_kept
+      FROM clean c JOIN deduped d USING (doc_id)
+    ),
+    capped AS (
+      SELECT doc_id, domain, q, n_kept,
+             row_number() OVER (PARTITION BY domain ORDER BY q DESC, doc_id) AS rk
+      FROM enriched
+    )
+    SELECT doc_id, domain, q, n_kept, CAST(rk AS BIGINT) AS rk
+    FROM capped WHERE rk <= {_CAP_K}
     """
 
 
@@ -1197,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "stratified_sample": q_stratified_sample,
         "dedup_clusters": q_dedup_clusters,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -1235,6 +1329,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _pii_redact_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
+        "curation_pipeline": _curation_pipeline_sql(),
         # round 2: the LSH family is hard-verified too — the oracles
         # recompute FNV-1a/splitmix64 signatures, simhashes, and
         # hyperplane buckets from scratch in DuckDB (functions/hash_sql.py)
