@@ -1167,6 +1167,34 @@ def _curation_pipeline_sql():
     """
 
 
+_PACK_BUDGET = 2048
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing: docs laid out in doc_id order, cut into fixed
+    2048-token bins (each doc assigned the bin where it starts + its
+    offset). Global cumsum is two-phase range-partitioned — no
+    single-partition window at any scale."""
+    from geodiff_spark.operators.corpus import pack_sequences
+
+    d = _spread_docs(spark, sf_dir).select(
+        "doc_id", TX.token_count_expr(F.col("text")).alias("n_tok")
+    )
+    return pack_sequences(d, "doc_id", "n_tok", _PACK_BUDGET)
+
+
+def _pack_sequences_sql():
+    return f"""
+    SELECT doc_id, n_tok,
+           CAST(floor((cum - n_tok) / {_PACK_BUDGET}.0) AS BIGINT) AS bin,
+           CAST((cum - n_tok) % {_PACK_BUDGET} AS BIGINT) AS bin_offset
+    FROM (
+      SELECT doc_id, n_tok, sum(n_tok) OVER (ORDER BY doc_id) AS cum
+      FROM (SELECT doc_id, {TX.token_count_sql('text')} AS n_tok FROM documents)
+    )
+    """
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Pair→cluster stage of fuzzy dedup: connected components
     (large-star/small-star, O(log n) rounds) over the cosine-LSH
@@ -1291,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "dedup_clusters": q_dedup_clusters,
         "curation_pipeline": q_curation_pipeline,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1330,6 +1359,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _stratified_sample_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "curation_pipeline": _curation_pipeline_sql(),
+        "pack_sequences": _pack_sequences_sql(),
         # round 2: the LSH family is hard-verified too — the oracles
         # recompute FNV-1a/splitmix64 signatures, simhashes, and
         # hyperplane buckets from scratch in DuckDB (functions/hash_sql.py)

@@ -173,6 +173,77 @@ def stratified_sample(
     return df.withColumn("bucket", bucket.cast("long")).filter(F.col("bucket") < thresh)
 
 
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out: str = "cum",
+) -> DataFrame:
+    """Running total of ``value_col`` over a TOTAL order (``order_cols``
+    must end in a unique tiebreaker) — WITHOUT the single-partition
+    global window: range-partition on the order keys, local cumsum per
+    physical partition, then add broadcast per-partition prefix totals
+    (the offsets relation is #partitions rows). The same two-phase shape
+    as the rebase allocator's _global_rank (operators/rebase.py:170) —
+    scales to billions of rows where a bare
+    ``sum() over (order by ...)`` funnels everything through one task.
+    """
+    from pyspark.sql import Window
+
+    p = df.sparkSession.sparkContext.defaultParallelism
+    d = df.repartitionByRange(p, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = Window.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d = d.withColumn("_lcum", F.sum(value_col).over(local))
+    offs = (
+        d.groupBy("_pid")
+        .agg(F.max("_lcum").alias("_tot"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_tot").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_off")
+    )
+    return (
+        d.join(F.broadcast(offs), "_pid")
+        .withColumn(out, F.col("_lcum") + F.col("_off"))
+        .drop("_pid", "_lcum")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Contiguous sequence packing for training: documents are laid out
+    in ``id_col`` order and cut into fixed token ``budget`` bins — each
+    doc is assigned the bin where it STARTS, with its offset inside that
+    bin. (The streaming concatenate-and-cut packing used to build
+    fixed-length training sequences; deterministic, order-defined, no
+    driver state.) Returns (id, n_tokens, bin, bin_offset).
+    """
+    c = global_cumsum(df.select(id_col, n_tokens_col), [id_col], n_tokens_col)
+    start = F.col("cum") - F.col(n_tokens_col)
+    return c.select(
+        id_col,
+        F.col(n_tokens_col),
+        F.floor(start / F.lit(budget)).cast("long").alias("bin"),
+        F.pmod(start, F.lit(budget)).cast("long").alias("bin_offset"),
+    )
+
+
 def stratified_sample_sql(
     table: str,
     text_sql_fingerprint: str,
