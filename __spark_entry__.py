@@ -1167,6 +1167,54 @@ def _curation_pipeline_sql():
     """
 
 
+_RSPAN_W = 6
+
+
+def q_repeated_spans(spark, sf_dir):
+    """Maximal repeated >= {_RSPAN_W}-token regions corpus-wide (the
+    sliding-window approximation of suffix-array substring dedup):
+    explode windows, corpus frequency, per-doc interval merge."""
+    from geodiff_spark.operators.corpus import repeated_spans
+
+    return repeated_spans(_spread_docs(spark, sf_dir), "doc_id", "text", _RSPAN_W)
+
+
+def _repeated_spans_sql():
+    toks = TX.tokens_sql("text")
+    w = _RSPAN_W
+    return f"""
+    WITH tk AS (SELECT doc_id, {toks} AS t FROM documents),
+    ix AS (
+      SELECT doc_id, t,
+             unnest(range(0, GREATEST(len(t) - {w - 1}, 0))) AS i
+      FROM tk
+    ),
+    wins AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             array_to_string(list_slice(t, i + 1, i + {w}), ' ') AS win
+      FROM ix
+    ),
+    freq AS (SELECT win FROM wins GROUP BY win HAVING count(*) >= 2),
+    dup AS (SELECT doc_id, pos FROM wins WHERE win IN (SELECT win FROM freq)),
+    marked AS (
+      SELECT doc_id, pos,
+        CASE WHEN pos > coalesce(
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), -{w + 1}) + {w}
+             THEN 1 ELSE 0 END AS nw
+      FROM dup
+    ),
+    iv AS (
+      SELECT doc_id, pos,
+             sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS ivid
+      FROM marked
+    )
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_tok,
+           CAST(max(pos) + {w} AS BIGINT) AS end_tok,
+           count(*) AS n_windows
+    FROM iv GROUP BY doc_id, ivid
+    """
+
+
 _PACK_BUDGET = 2048
 
 
@@ -1320,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "curation_pipeline": q_curation_pipeline,
         "pack_sequences": q_pack_sequences,
+        "repeated_spans": q_repeated_spans,
     }
 
 
@@ -1360,6 +1409,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_sql(),
         "curation_pipeline": _curation_pipeline_sql(),
         "pack_sequences": _pack_sequences_sql(),
+        "repeated_spans": _repeated_spans_sql(),
         # round 2: the LSH family is hard-verified too — the oracles
         # recompute FNV-1a/splitmix64 signatures, simhashes, and
         # hyperplane buckets from scratch in DuckDB (functions/hash_sql.py)

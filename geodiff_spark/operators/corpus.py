@@ -173,6 +173,58 @@ def stratified_sample(
     return df.withColumn("bucket", bucket.cast("long")).filter(F.col("bucket") < thresh)
 
 
+def repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 6,
+) -> DataFrame:
+    """Maximal repeated token regions — the scalable approximation of
+    suffix-array substring dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): every sliding ``w``-token
+    window whose text occurs more than once in the corpus is a dup
+    window; overlapping/adjacent dup windows in a document merge into
+    maximal spans. Returns (id, start_tok, end_tok, n_windows) per span
+    (token positions, end exclusive).
+
+    Shape: one explode (n windows/doc) + one linear shuffle on the
+    window text (hash at scale) for the corpus frequency + per-document
+    interval merge (lag/cumsum window partitioned by doc — never
+    global). Unlike a true suffix array this bounds span granularity to
+    w, but detects every repeated substring of >= w tokens, corpus-wide,
+    in two shuffles.
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens_expr(F.col(text_col))
+    n_win = F.size(toks) - w + 1
+    wins = F.when(
+        n_win > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, w)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(F.col(id_col), wins.alias("wins")).select(
+        id_col, F.posexplode("wins").alias("pos", "win")
+    )
+    freq = ex.groupBy("win").agg(F.count(F.lit(1)).alias("_n"))
+    dup = ex.join(freq.filter(F.col("_n") >= 2).select("win"), "win", "left_semi")
+    byd = Window.partitionBy(id_col).orderBy("pos")
+    marked = dup.withColumn(
+        "_new",
+        F.when(
+            F.col("pos") > F.coalesce(F.lag("pos").over(byd), F.lit(-w - 1)) + w,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("_iv", F.sum("_new").over(byd))
+    return marked.groupBy(id_col, "_iv").agg(
+        F.min("pos").cast("long").alias("start_tok"),
+        (F.max("pos") + w).cast("long").alias("end_tok"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).drop("_iv")
+
+
 def global_cumsum(
     df: DataFrame,
     order_cols: list[str],

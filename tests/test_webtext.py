@@ -201,3 +201,41 @@ def test_stratified_sample_no_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # narrow deterministic filter
+
+
+# --- repeated spans -----------------------------------------------------------
+
+def test_repeated_spans_merge_and_boundaries(spark):
+    from geodiff_spark.operators.corpus import repeated_spans
+
+    # w=3: docs 1,2 share "p q r s" -> windows "p q r"(pos1/0) and
+    # "q r s"(pos2/1) overlap -> ONE merged span per doc
+    df = spark.createDataFrame(
+        [
+            (1, "z p q r s a b c d e"),
+            (2, "p q r s x y z1 z2"),
+            (3, "totally unique words only here now ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {(r.doc_id, r.start_tok): (r.end_tok, r.n_windows)
+           for r in repeated_spans(df, "doc_id", "text", 3).collect()}
+    assert got == {
+        (1, 1): (5, 2),   # tokens 1..5 = "p q r s", 2 windows merged
+        (2, 0): (4, 2),
+    }
+
+
+def test_repeated_spans_within_doc_repeat_counts(spark):
+    from geodiff_spark.operators.corpus import repeated_spans
+
+    # the same window twice INSIDE one doc is a corpus-frequency-2 dup;
+    # gap > w keeps the two spans separate
+    df = spark.createDataFrame(
+        [(9, "a b c x1 x2 x3 x4 x5 a b c")], ["doc_id", "text"]
+    )
+    got = sorted(
+        (r.start_tok, r.end_tok, r.n_windows)
+        for r in repeated_spans(df, "doc_id", "text", 3).collect()
+    )
+    assert got == [(0, 3, 1), (8, 11, 1)]
