@@ -173,3 +173,100 @@ def synth_media(spark, n: int, *, seed: int = 5) -> DataFrame:
             )
 
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+# --- perceptual hashing (image near-dup detection) -------------------------
+
+PHASH_SCHEMA = "asset_id long, phash long"
+
+
+def _dct2_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (the classic pHash transform)."""
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    c = np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+    c[0] *= 1 / np.sqrt(2)
+    return c * np.sqrt(2 / n)
+
+
+def phash_plane(plane: np.ndarray, *, hash_size: int = 8, upsize: int = 32) -> int:
+    """64-bit DCT perceptual hash of a luma plane: stride-resample to
+    32x32, 2-D DCT-II, keep the top-left hash_size×hash_size
+    low-frequency block, threshold each coefficient against the block
+    MEDIAN (DC excluded from the median, included in the bits — the
+    standard pHash recipe). Deterministic pure numpy."""
+    h, w = plane.shape
+    ys = np.linspace(0, h - 1, upsize).astype(int)
+    xs = np.linspace(0, w - 1, upsize).astype(int)
+    small = plane[np.ix_(ys, xs)].astype(np.float64)
+    c = _dct2_matrix(upsize)
+    d = c @ small @ c.T
+    block = d[:hash_size, :hash_size]
+    med = np.median(block.flatten()[1:])
+    bits = (block.flatten() > med).astype(np.uint64)
+    out = np.uint64(0)
+    for b in bits:
+        out = (out << np.uint64(1)) | b
+    return int(out.astype(np.int64))  # two's complement into a Spark long
+
+
+def phash_images(media: DataFrame) -> DataFrame:
+    """mapInPandas: image payload -> 64-bit perceptual hash (PNG decodes
+    for real; synthetic payloads use the deterministic fake plane)."""
+
+    def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf[pdf["kind"] == "image"]
+            hashes = []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                w = int(meta["width"] or 16)
+                h = int(meta["height"] or 16)
+                hashes.append(phash_plane(_decode_image(bytes(payload), w, h)))
+            yield pd.DataFrame(
+                {"asset_id": pdf["asset_id"],
+                 "phash": pd.Series(hashes, dtype="int64")}
+            )
+
+    return media.mapInPandas(op, schema=PHASH_SCHEMA)
+
+
+def image_dup_pairs(media: DataFrame, *, max_hamming: int = 3, chunks: int = 4) -> DataFrame:
+    """Near-duplicate images: pHash + chunk-banded hamming join — the
+    same pigeonhole scheme as simhash text dedup (operators/dedup.py):
+    two hashes within hamming <= chunks-1 MUST agree on at least one of
+    the `chunks` 16-bit bands, so candidates come from an equi-join on
+    (band_idx, band_value), never an all-pairs scan; the exact hamming
+    distance (bit_count of xor) then filters. All JVM-side after the
+    one decode pass."""
+    hs = phash_images(media)
+    width = 64 // chunks
+    bands = hs.select(
+        "asset_id", "phash",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("phash"), i * width).bitwiseAND(
+                    F.lit((1 << width) - 1)
+                )
+                for i in range(chunks)
+            ])
+        ).alias("band_idx", "band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("id_a"),
+            F.col("b.asset_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
