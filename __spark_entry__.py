@@ -1215,6 +1215,45 @@ def _repeated_spans_sql():
     """
 
 
+_PR_ITERS = 6
+_PR_LINKS = ((7, 1), (13, 5), (31, 11))  # deterministic out-link params
+
+
+def q_link_rank(spark, sf_dir):
+    """Fixed-point PageRank over a deterministic synthesized link graph
+    (each doc links to (id*a+b) mod N for three (a,b) pairs) — the
+    link-authority quality prior of crawl curation. Integer-scaled
+    arithmetic makes every iteration's sums order-independent, so the
+    result is bit-exact against the unrolled-CTE DuckDB oracle."""
+    from geodiff_spark.operators.graph import pagerank_fp
+
+    d = _spread_docs(spark, sf_dir).select("doc_id")
+    n_docs = d.count()
+    edges = None
+    for a, b in _PR_LINKS:
+        e = d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * a + b) % n_docs).alias("dst"),
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    ranks = pagerank_fp(
+        edges, d.select(F.col("doc_id").alias("node")), iters=_PR_ITERS
+    )
+    return ranks.select(F.col("node").alias("doc_id"), "rank")
+
+
+def _link_rank_sql():
+    from geodiff_spark.operators.graph import pagerank_fp_sql
+
+    edges = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id * {a} + {b}) %"
+        " (SELECT count(*) FROM documents) AS dst FROM documents"
+        for a, b in _PR_LINKS
+    )
+    sql = pagerank_fp_sql("SELECT doc_id AS node FROM documents", edges, iters=_PR_ITERS)
+    return f"SELECT node AS doc_id, rank FROM ({sql})"
+
+
 _PACK_BUDGET = 2048
 
 
@@ -1369,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "pack_sequences": q_pack_sequences,
         "repeated_spans": q_repeated_spans,
+        "link_rank": q_link_rank,
     }
 
 
@@ -1410,6 +1450,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": _curation_pipeline_sql(),
         "pack_sequences": _pack_sequences_sql(),
         "repeated_spans": _repeated_spans_sql(),
+        "link_rank": _link_rank_sql(),
         # round 2: the LSH family is hard-verified too — the oracles
         # recompute FNV-1a/splitmix64 signatures, simhashes, and
         # hyperplane buckets from scratch in DuckDB (functions/hash_sql.py)

@@ -284,7 +284,7 @@ def run_suite() -> None:
         "text_extract", "quality_filter", "salted_cell_counts",
         "repetition_signals", "url_canonical", "domain_cap", "span_dedup",
         "decontaminate", "pii_redact", "stratified_sample", "dedup_clusters",
-        "curation_pipeline", "pack_sequences", "repeated_spans",
+        "curation_pipeline", "pack_sequences", "repeated_spans", "link_rank",
     ]
     qs = E.queries()
     # warmup at the smallest sf: codegen/JIT caches, python worker pool,

@@ -1,0 +1,108 @@
+"""Fixed-point PageRank — link-graph authority scoring (domain/page
+rank is the classic web-corpus quality prior used in crawl curation).
+
+Determinism design: PageRank in floating point is NOT reproducible
+across engines (the per-node sum of contributions is order-dependent in
+fp, and Spark's groupBy sum order is nondeterministic). This
+implementation runs entirely in scaled int64 arithmetic:
+
+    share(u)  = r(u) // outdeg(u)                    (int64 floor div)
+    r'(v)     = base + (d_num * Σ share(u)) // d_den (int64, Σ exact)
+
+Integer addition is commutative/associative with no rounding, so ANY
+summation order gives the same result — the Spark job and the DuckDB
+oracle (same recurrence unrolled as chained CTEs) agree bit-for-bit.
+Rank mass from dangling nodes (outdeg 0) is dropped, the standard
+simplification; ranks are therefore a lower bound on the d-damped walk
+probability, scaled by SCALE.
+
+Scale shape: each iteration is two linear shuffles (join ranks->edges
+on src, groupBy dst) — the canonical iterative-join pattern; lineage is
+truncated with localCheckpoint every iteration (same discipline as
+operators/cluster.py connected components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SCALE = 10**12
+D_NUM, D_DEN = 85, 100  # damping 0.85 as an exact rational
+
+
+def pagerank_fp(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    iters: int = 8,
+) -> DataFrame:
+    """(node, rank) after ``iters`` fixed-point iterations; rank is the
+    int64 scaled score (Σ exact — see module docstring)."""
+    n = nodes.select(F.col(node_col)).distinct()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+
+    n_nodes = n.count()  # one scalar action; the iteration loop itself
+    # runs no driver-side data collection
+    init = SCALE // n_nodes
+    base = ((D_DEN - D_NUM) * SCALE // D_DEN) // n_nodes
+
+    ranks = n.withColumn("r", F.lit(init).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed(node_col, "src"), "src")
+            .join(outdeg, "src")
+            # `div` = exact int64 division (NOT `/`, which goes through
+            # float and can misround large quotients)
+            .select("dst", F.expr("r div deg").alias("share"))
+        )
+        summed = contrib.groupBy("dst").agg(F.sum("share").alias("m"))
+        ranks = (
+            n.join(summed.withColumnRenamed("dst", node_col), node_col, "left")
+            .select(
+                node_col,
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(f"({D_NUM} * coalesce(m, 0L)) div {D_DEN}")
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(F.col(node_col), F.col("r").alias("rank"))
+
+
+def pagerank_fp_sql(
+    nodes_sql: str,
+    edges_sql: str,
+    iters: int = 8,
+) -> str:
+    """DuckDB twin: the same integer recurrence unrolled as chained
+    CTEs (recursive CTEs cannot aggregate in the recursive term).
+    ``nodes_sql`` must yield (node), ``edges_sql`` (src, dst)."""
+    ctes = [
+        f"nodes AS (SELECT DISTINCT node FROM ({nodes_sql}))",
+        f"edges AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"r0 AS (SELECT node, CAST({SCALE} // n AS BIGINT) AS r FROM nodes CROSS JOIN nn)",
+    ]
+    base = f"(({D_DEN - D_NUM} * {SCALE} // {D_DEN}) // n)"
+    for k in range(1, iters + 1):
+        ctes.append(f"""r{k} AS (
+          SELECT nodes.node,
+                 CAST({base} + ({D_NUM} * COALESCE(s.m, 0)) // {D_DEN} AS BIGINT) AS r
+          FROM nodes CROSS JOIN nn
+          LEFT JOIN (
+            SELECT e.dst AS node, SUM(p.r // o.deg) AS m
+            FROM edges e
+            JOIN r{k - 1} p ON p.node = e.src
+            JOIN outdeg o ON o.src = e.src
+            GROUP BY e.dst
+          ) s ON s.node = nodes.node
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, r AS rank FROM r{iters}"
+    )
