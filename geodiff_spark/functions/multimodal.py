@@ -230,21 +230,26 @@ def phash_images(media: DataFrame) -> DataFrame:
     return media.mapInPandas(op, schema=PHASH_SCHEMA)
 
 
-def image_dup_pairs(media: DataFrame, *, max_hamming: int = 3, chunks: int = 4) -> DataFrame:
-    """Near-duplicate images: pHash + chunk-banded hamming join — the
-    same pigeonhole scheme as simhash text dedup (operators/dedup.py):
-    two hashes within hamming <= chunks-1 MUST agree on at least one of
-    the `chunks` 16-bit bands, so candidates come from an equi-join on
-    (band_idx, band_value), never an all-pairs scan; the exact hamming
-    distance (bit_count of xor) then filters. All JVM-side after the
-    one decode pass."""
-    hs = phash_images(media)
+def banded_hamming_pairs(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    *,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs among 64-bit hashes via the chunk-banded
+    pigeonhole join (same scheme as simhash text dedup,
+    operators/dedup.py): two hashes within hamming <= chunks-1 MUST
+    agree on at least one of the `chunks` 16-bit bands, so candidates
+    come from an equi-join on (band_idx, band_value) — never an
+    all-pairs scan; exact bit_count(xor) re-ranks. All JVM-side."""
     width = 64 // chunks
-    bands = hs.select(
-        "asset_id", "phash",
+    bands = hashes.select(
+        F.col(id_col), F.col(hash_col).alias("_h"),
         F.posexplode(
             F.array(*[
-                F.shiftrightunsigned(F.col("phash"), i * width).bitwiseAND(
+                F.shiftrightunsigned(F.col(hash_col), i * width).bitwiseAND(
                     F.lit((1 << width) - 1)
                 )
                 for i in range(chunks)
@@ -258,15 +263,83 @@ def image_dup_pairs(media: DataFrame, *, max_hamming: int = 3, chunks: int = 4) 
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.asset_id") < F.col("b.asset_id")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
-            F.col("a.asset_id").alias("id_a"),
-            F.col("b.asset_id").alias("id_b"),
-            F.bit_count(
-                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
-            ).alias("hamming"),
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h"))).alias("hamming"),
         )
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def image_dup_pairs(media: DataFrame, *, max_hamming: int = 3, chunks: int = 4) -> DataFrame:
+    """Near-duplicate images: one decode pass -> pHash -> banded join."""
+    return banded_hamming_pairs(
+        phash_images(media), "asset_id", "phash",
+        max_hamming=max_hamming, chunks=chunks,
+    )
+
+
+# --- audio fingerprinting ---------------------------------------------------
+
+AHASH_SCHEMA = "asset_id long, ahash long"
+
+
+def afingerprint_pcm(x: np.ndarray, *, frames: int = 16, bands: int = 4) -> int:
+    """64-bit spectral fingerprint of a mono PCM signal: split into
+    `frames` time frames, `bands` rfft band energies per frame, bit =
+    energy > that band's median across frames. Deterministic numpy;
+    robust to gain/low-amplitude noise (median thresholding), the audio
+    twin of phash_plane."""
+    x = x.astype(np.float64)
+    if len(x) < frames:
+        x = np.pad(x, (0, frames - len(x)))
+    e = np.empty((frames, bands))
+    for t, chunk in enumerate(np.array_split(x, frames)):
+        spec = np.abs(np.fft.rfft(chunk))
+        for b, band in enumerate(np.array_split(spec, bands)):
+            e[t, b] = np.sqrt(np.mean(np.square(band))) if len(band) else 0.0
+    med = np.median(e, axis=0, keepdims=True)
+    bits = (e > med).astype(np.uint64).flatten()
+    out = np.uint64(0)
+    for bit in bits:
+        out = (out << np.uint64(1)) | bit
+    return int(out.astype(np.int64))
+
+
+def afingerprint_audio(media: DataFrame) -> DataFrame:
+    """mapInPandas: WAV payload -> 64-bit spectral fingerprint (real
+    RIFF/PCM decode; non-WAV audio payloads use the raw bytes as int8
+    samples — the deterministic stand-in for gated codecs)."""
+
+    def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .wav import WAV_MAGIC, decode_wav
+
+        for pdf in it:
+            pdf = pdf[pdf["kind"] == "audio"]
+            hashes = []
+            for payload in pdf["payload"]:
+                payload = bytes(payload)
+                if payload[:4] == WAV_MAGIC:
+                    pcm, _ = decode_wav(payload)
+                    x = pcm[:, 0]
+                else:
+                    x = np.frombuffer(payload, dtype=np.int8).astype(np.float64)
+                hashes.append(afingerprint_pcm(x))
+            yield pd.DataFrame(
+                {"asset_id": pdf["asset_id"],
+                 "ahash": pd.Series(hashes, dtype="int64")}
+            )
+
+    return media.mapInPandas(op, schema=AHASH_SCHEMA)
+
+
+def audio_dup_pairs(media: DataFrame, *, max_hamming: int = 3, chunks: int = 4) -> DataFrame:
+    """Near-duplicate audio: one decode pass -> fingerprint -> banded join."""
+    return banded_hamming_pairs(
+        afingerprint_audio(media), "asset_id", "ahash",
+        max_hamming=max_hamming, chunks=chunks,
+    )

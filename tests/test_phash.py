@@ -87,3 +87,43 @@ def test_phash_deterministic_across_runs(spark):
     h1 = phash_images(media).collect()[0].phash
     h2 = phash_images(media).collect()[0].phash
     assert h1 == h2 == phash_plane(img)
+
+
+# --- audio fingerprint --------------------------------------------------------
+
+def _tone(freqs, n=8000, rate=16000, amps=None):
+    t = np.arange(n) / rate
+    amps = amps or [1.0] * len(freqs)
+    x = sum(a * np.sin(2 * np.pi * f * t) for f, a in zip(freqs, amps))
+    return (x / np.max(np.abs(x)) * 20000).astype(np.int16)
+
+
+def test_afingerprint_noise_invariant_content_sensitive():
+    from geodiff_spark.functions.multimodal import afingerprint_pcm
+
+    base = _tone([440, 1200]).astype(np.float64)
+    noisy = base + 25.0 * np.cos(np.arange(len(base)))  # tiny additive hum
+    other = _tone([3000, 250, 777]).astype(np.float64)
+    assert _ham(afingerprint_pcm(base), afingerprint_pcm(noisy)) <= 3
+    assert _ham(afingerprint_pcm(base), afingerprint_pcm(other)) > 10
+
+
+def test_audio_dup_pairs_on_real_wavs(spark):
+    from geodiff_spark.functions.multimodal import audio_dup_pairs
+    from geodiff_spark.functions.wav import encode_wav
+
+    base = _tone([440, 1200])
+    noisy = (base.astype(np.float64) + 20.0 * np.cos(np.arange(len(base))))
+    noisy = np.clip(noisy, -32768, 32767).astype(np.int16)
+    other = _tone([3000, 250, 777])
+    rows = [
+        (i, "audio", bytearray(encode_wav(x)),
+         {"width": 0, "height": 0, "sample_rate": 16000, "n_frames": 0})
+        for i, x in [(1, base), (2, noisy), (3, other)]
+    ]
+    media = spark.createDataFrame(
+        rows, "asset_id long, kind string, payload binary, "
+        "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
+    )
+    pairs = {(r.id_a, r.id_b) for r in audio_dup_pairs(media).collect()}
+    assert pairs == {(1, 2)}
