@@ -52,3 +52,14 @@ def test_pagerank_deterministic_across_partitionings(spark):
     nodes = spark.range(20).select(F.col("id").alias("node")).repartition(3)
     b = {r.node: r.rank for r in pagerank_fp(e, nodes, iters=5).collect()}
     assert a == b  # integer sums are order/partitioning independent
+
+
+def test_pagerank_random_graphs_match_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    for _ in range(2):
+        n = 30
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(60)]
+        got = _run(spark, n, edges, iters=5)
+        assert got == _python_reference(n, edges, iters=5)

@@ -101,3 +101,16 @@ def test_rebase_plan_no_cartesian_no_python_join(spark):
     df = E.q_rebase_conflicts(spark, SF)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
+
+
+def test_curation_pipeline_plan_shape(spark):
+    """The composed pipeline keeps its stage-level physical properties:
+    benchmark grams broadcast, per-domain cap as WindowGroupLimit, no
+    cartesian product anywhere."""
+    import __spark_entry__ as E
+
+    df = E.q_curation_pipeline(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
