@@ -1346,6 +1346,82 @@ def _stratified_sample_sql():
 
 
 # ---------------------------------------------------------------------------
+# round-2 retrieval block: inverted index, BM25 search, corpus statistics
+# ---------------------------------------------------------------------------
+
+#: (query_id, term) retrieval dimension — tiny by construction, broadcast.
+_BM25_QUERIES = (
+    (1, "hash"), (1, "join"),
+    (2, "stream"), (2, "window"),
+    (3, "customer"), (3, "batch"),
+)
+
+
+def q_inverted_index(spark, sf_dir):
+    """Postings build: term -> (df, "docid:tf,..." ordered by doc) in one
+    term-shuffle with map-side partial tf aggregation
+    (operators/retrieval.py)."""
+    from geodiff_spark.operators.retrieval import inverted_index
+
+    return inverted_index(_spread_docs(spark, sf_dir), "doc_id", "text", min_df=2)
+
+
+def _inverted_index_sql():
+    from geodiff_spark.operators.retrieval import inverted_index_sql
+
+    return inverted_index_sql("documents", "doc_id", "text", min_df=2)
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 top-10 per query (log-free RSJ idf — + - * / only, so f64
+    scores are bit-identical cross-engine; sequential term-sorted fold)."""
+    from geodiff_spark.operators.retrieval import bm25_search
+
+    qdf = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id long, term string"
+    )
+    return bm25_search(_spread_docs(spark, sf_dir), qdf, "doc_id", "text", k=10)
+
+
+def _bm25_sql():
+    from geodiff_spark.operators.retrieval import bm25_sql
+
+    vals = ", ".join(
+        f"(CAST({q} AS BIGINT), '{t}')" for q, t in _BM25_QUERIES
+    )
+    return bm25_sql("documents", vals, "doc_id", "text", k=10)
+
+
+def q_top_terms(spark, sf_dir):
+    """Exact per-language heavy hitters (two-phase count + group-limit)."""
+    from geodiff_spark.operators.retrieval import top_terms
+
+    return top_terms(_spread_docs(spark, sf_dir), "lang", "text", k=10)
+
+
+def _top_terms_sql():
+    from geodiff_spark.operators.retrieval import top_terms_sql
+
+    return top_terms_sql("documents", "lang", "text", k=10)
+
+
+def q_token_quantiles(spark, sf_dir):
+    """Exact per-language p50/p90/p99 of document token counts via
+    value-compressed distributed selection (integer ceil targets)."""
+    from geodiff_spark.operators.retrieval import exact_quantiles
+
+    return exact_quantiles(
+        _spread_docs(spark, sf_dir), "lang", TX.token_count_expr(F.col("text"))
+    )
+
+
+def _token_quantiles_sql():
+    from geodiff_spark.operators.retrieval import exact_quantiles_sql
+
+    return exact_quantiles_sql("documents", "lang", TX.token_count_sql("text"))
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -1409,6 +1485,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "repeated_spans": q_repeated_spans,
         "link_rank": q_link_rank,
+        "inverted_index": q_inverted_index,
+        "bm25_search": q_bm25_search,
+        "top_terms": q_top_terms,
+        "token_quantiles": q_token_quantiles,
     }
 
 
@@ -1451,6 +1531,10 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_sequences_sql(),
         "repeated_spans": _repeated_spans_sql(),
         "link_rank": _link_rank_sql(),
+        "inverted_index": _inverted_index_sql(),
+        "bm25_search": _bm25_sql(),
+        "top_terms": _top_terms_sql(),
+        "token_quantiles": _token_quantiles_sql(),
         # round 2: the LSH family is hard-verified too — the oracles
         # recompute FNV-1a/splitmix64 signatures, simhashes, and
         # hyperplane buckets from scratch in DuckDB (functions/hash_sql.py)
