@@ -1422,6 +1422,75 @@ def _token_quantiles_sql():
 
 
 # ---------------------------------------------------------------------------
+# round-2 temporal + pyramid block
+# ---------------------------------------------------------------------------
+
+def q_sessionize(spark, sf_dir):
+    """Batch sessionization of the event stream (6h gap, microsecond-
+    exact comparisons) — the batch twin of streaming/sessionize.py."""
+    from geodiff_spark.operators.temporal import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, "user_id", "ts", 21600, "event_id")
+
+
+def _sessionize_sql():
+    from geodiff_spark.operators.temporal import sessionize_sql
+
+    return sessionize_sql("events", "user_id", "ts", 21600, "event_id")
+
+
+def q_asof_clicks(spark, sf_dir):
+    """As-of join: each purchase picks the user's latest click at-or-
+    before it (union+last_value — one key shuffle, no range explosion);
+    oracle is DuckDB's NATIVE ASOF LEFT JOIN."""
+    from geodiff_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purch = ev.filter("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts", "event_id")
+    a = asof_join(
+        purch, clicks, ["user_id"], "ts", "ts", ["event_id"],
+        tiebreak_col="event_id",
+    )
+    return a.select(
+        "event_id", "user_id", "ts",
+        F.col("match_ts").alias("click_ts"),
+        F.col("match_event_id").alias("click_id"),
+    )
+
+
+_ASOF_SQL = """
+WITH c AS (
+  SELECT user_id, ts, MAX(event_id) AS click_id FROM events
+  WHERE event_type = 'click' GROUP BY user_id, ts
+), p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts, c.click_id
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_tile_pyramid(spark, sf_dir):
+    """Every zoom level of the customer-point tile pyramid in ONE scan +
+    ONE shuffle (spread once, shift in spread-space per level)."""
+    from geodiff_spark.spatial.cells import pyramid_rollup
+
+    pts = _customers_geo(spark, sf_dir)
+    return pyramid_rollup(pts, F.col("lat"), F.col("lon"), _RES, (2, _COARSE, _RES))
+
+
+def _tile_pyramid_sql():
+    from geodiff_spark.spatial.cells import pyramid_sql
+
+    return pyramid_sql(
+        f"(SELECT {_LAT} AS lat, {_LON} AS lon FROM customer)",
+        "lat", "lon", _RES, (2, _COARSE, _RES),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -1489,6 +1558,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "top_terms": q_top_terms,
         "token_quantiles": q_token_quantiles,
+        "sessionize": q_sessionize,
+        "asof_clicks": q_asof_clicks,
+        "tile_pyramid": q_tile_pyramid,
     }
 
 
@@ -1535,6 +1607,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _bm25_sql(),
         "top_terms": _top_terms_sql(),
         "token_quantiles": _token_quantiles_sql(),
+        "sessionize": _sessionize_sql(),
+        "asof_clicks": _ASOF_SQL,
+        "tile_pyramid": _tile_pyramid_sql(),
         # round 2: the LSH family is hard-verified too — the oracles
         # recompute FNV-1a/splitmix64 signatures, simhashes, and
         # hyperplane buckets from scratch in DuckDB (functions/hash_sql.py)

@@ -1,0 +1,168 @@
+"""Temporal operators over the event stream: batch sessionization and a
+generic as-of (point-in-time) join.
+
+Both are classic operators Spark's built-in surface lacks as primitives;
+both are expressed as the scale-correct window composition (ONE shuffle
+on the entity key, no range-join explosion):
+
+  * sessionize — the batch twin of streaming/sessionize.py: gap-based
+    session assignment as lag + running sum of session-break flags per
+    key. Gaps compare in integer MICROSECONDS (unix_micros vs DuckDB
+    epoch_us) — no float thresholds, no seconds truncation.
+  * asof_join — each left row picks the latest right row with
+    right_ts <= left_ts for the same key, via the union+last_value
+    pattern: tag sides, union, sort per key by (ts, side), running
+    `last(right_struct, ignorenulls)` carries the most recent right row
+    forward; left rows then unpack it. This is O(n log n) per key with
+    ONE shuffle — the naive `JOIN ON key AND r.ts <= l.ts` + argmax is
+    quadratic per key at web scale. The right payload rides ONE struct
+    column so the match is always a consistent single row. The right
+    side is deduplicated to one row per (key, ts) first (deterministic
+    max-tiebreaker), which is also what makes DuckDB's native ASOF JOIN
+    (the oracle) unambiguous.
+
+Reference analogue: geodiff has no temporal surface; this extends the
+events-table coverage the same way streaming/cdc.py extends changesets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _micros(ts: Column) -> Column:
+    """Integer microseconds since epoch; NTZ timestamps go through the
+    session TZ (UTC in get_spark) so this equals DuckDB's epoch_us."""
+    return F.unix_micros(ts.cast("timestamp"))
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Assign gap-based sessions per key and aggregate one row per
+    session: (key, session_id, n_events, start_ts, end_ts).
+
+    session break = first event of the key, or gap from the previous
+    event strictly greater than ``gap_seconds`` (compared in integer
+    microseconds). session_id numbers sessions 1.. per key in time
+    order. One shuffle on the key; per-key windows are the standard
+    sessionization shape (the streaming twin handles unbounded keys
+    with watermarked state)."""
+    gap_us = int(gap_seconds) * 1_000_000
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = _micros(F.col(ts_col))
+    prev = F.lag(us).over(w)
+    brk = F.when(prev.isNull() | ((us - prev) > gap_us), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    with_sid = df.withColumn("session_id", F.sum(brk).over(run).cast("long"))
+    return with_sid.groupBy(key_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("start_ts"),
+        F.max(ts_col).alias("end_ts"),
+    )
+
+
+def sessionize_sql(
+    table: str, key_col: str, ts_col: str, gap_seconds: int, tiebreak_col: str
+) -> str:
+    """DuckDB twin of :func:`sessionize`."""
+    gap_us = int(gap_seconds) * 1_000_000
+    return f"""
+    WITH g AS (
+      SELECT {key_col}, {ts_col},
+             epoch_us({ts_col})
+               - lag(epoch_us({ts_col})) OVER (PARTITION BY {key_col}
+                                               ORDER BY {ts_col}, {tiebreak_col})
+               AS gap
+      FROM {table}
+    ), s AS (
+      SELECT {key_col}, {ts_col},
+             CAST(SUM(CASE WHEN gap IS NULL OR gap > {gap_us}
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY {key_col} ORDER BY {ts_col}
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM g
+    )
+    SELECT {key_col}, session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN({ts_col}) AS start_ts, MAX({ts_col}) AS end_ts
+    FROM s GROUP BY {key_col}, session_id
+    """
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    tiebreak_col: str | None = None,
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Left as-of join: every left row gains the payload of the latest
+    right row with ``right_ts <= left_ts`` on the same key (NULLs when
+    none). Matches DuckDB `ASOF LEFT JOIN` semantics with the right
+    side deduplicated to one row per (key, ts).
+
+    ``tolerance_seconds`` nulls out matches older than the tolerance
+    (pandas.merge_asof semantics) without dropping the left row.
+    """
+    ts = "_asof_ts"
+    if tiebreak_col is not None:
+        wded = Window.partitionBy(*key_cols, right_ts).orderBy(
+            F.col(tiebreak_col).desc()
+        )
+        right = (
+            right.withColumn("_rn", F.row_number().over(wded))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    l_cols = [c for c in left.columns]
+    l = left.select(
+        *[F.col(c) for c in l_cols],
+        F.col(left_ts).alias(ts),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(
+            "struct<" + ",".join(
+                f"{c}:{dict(right.dtypes)[c]}" for c in [right_ts, *right_payload]
+            ) + ">"
+        ).alias("_r"),
+    )
+    ltypes = dict(left.dtypes)
+    r = right.select(
+        # key columns come from the right row (they drive the window
+        # partitioning); every other left column is a typed NULL
+        *[
+            F.col(c) if c in key_cols else F.lit(None).cast(ltypes[c]).alias(c)
+            for c in l_cols
+        ],
+        F.col(right_ts).alias(ts),
+        F.lit(0).alias("_side"),
+        F.struct(F.col(right_ts), *[F.col(c) for c in right_payload]).alias("_r"),
+    )
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        tol_us = int(tolerance_seconds) * 1_000_000
+        in_tol = (
+            _micros(F.col(ts)) - _micros(F.col("_m")[right_ts])
+        ) <= tol_us
+        out = out.withColumn("_m", F.when(in_tol, F.col("_m")))
+    sel = [F.col(c) for c in l_cols]
+    sel.append(F.col("_m")[right_ts].alias(f"match_{right_ts}"))
+    sel.extend(F.col("_m")[c].alias(f"match_{c}") for c in right_payload)
+    return out.select(*sel)

@@ -238,3 +238,89 @@ def cell_sql(lat: str, lon: str, res: int) -> str:
     x, y = xy_sql(lat, lon, res)
     head = MODE_BIT | (res << RES_SHIFT)
     return f"({head} | {_spread_sql(x)} | ({_spread_sql(y)} << 1))"
+
+
+# --------------------------------------------------------------------------
+# tile pyramid: every zoom level in one scan
+# --------------------------------------------------------------------------
+
+def pyramid_rollup(
+    df,
+    lat: Column,
+    lon: Column,
+    fine_res: int,
+    levels: tuple[int, ...],
+    agg_exprs: list[Column] | None = None,
+):
+    """Rollup counts (plus optional extra aggregates) per tile at EVERY
+    requested zoom level in a single pass: the fine x/y are computed
+    once, each level's tile is a shift of the same integers (identical
+    to parent_np — decode-shift-respread, never a fresh float encode),
+    the (level, tile) pairs ride one posexplode, and one groupBy
+    aggregates all levels together. Map-side partial aggregation means
+    the shuffle carries ~sum over levels of |distinct tiles| rows, not
+    |input| x |levels|.
+
+    This is the materialized tile-pyramid build of the north star
+    (raster/vector tile pyramids at 10^12 points: one scan, one
+    shuffle, every zoom level)."""
+    if not all(0 < l <= fine_res for l in levels):
+        raise ValueError("levels must be in (0, fine_res]")
+    # spread fine x/y ONCE as real columns; each level's tile is then a
+    # tiny shift+mask of those columns via the identity
+    #   spread(x >> s) == (spread(x) >> 2s) & M1
+    # (spread puts bit i of x at position 2i, so a right shift by s in
+    # x-space is a right shift by 2s in spread-space, re-masked to the
+    # even bit lanes). Without this the per-level full float-encode
+    # expressions blow past the JVM codegen method-size limit and the
+    # whole stage falls back to interpreted eval.
+    x, y = xy_expr(lat, lon, fine_res)
+    base = df.select(
+        _spread_expr(x).alias("_sx"), _spread_expr(y).alias("_sy"), "*"
+    )
+    tiles = []
+    for l in sorted(levels):
+        shift = fine_res - l
+        head = MODE_BIT | (l << RES_SHIFT)
+        tile = (
+            F.lit(head)
+            .bitwiseOR(F.shiftright(F.col("_sx"), 2 * shift).bitwiseAND(F.lit(_M1)))
+            .bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(F.col("_sy"), 2 * shift).bitwiseAND(F.lit(_M1)), 1
+                )
+            )
+        )
+        tiles.append(F.struct(F.lit(l).cast("long").alias("level"), tile.alias("tile")))
+    exploded = base.select(F.explode(F.array(*tiles)).alias("lt"), "*")
+    aggs = [F.count(F.lit(1)).alias("n")] + list(agg_exprs or [])
+    return exploded.groupBy(
+        F.col("lt.level").alias("level"), F.col("lt.tile").alias("tile")
+    ).agg(*aggs)
+
+
+def pyramid_sql(
+    table: str,
+    lat: str,
+    lon: str,
+    fine_res: int,
+    levels: tuple[int, ...],
+    extra_aggs: str = "",
+) -> str:
+    """DuckDB twin of :func:`pyramid_rollup` — same shift-respread tile
+    arithmetic per level, UNION ALL across levels."""
+    x, y = xy_sql(lat, lon, fine_res)
+    parts = []
+    for l in sorted(levels):
+        shift = fine_res - l
+        head = MODE_BIT | (l << RES_SHIFT)
+        tile = (
+            f"({head} | {_spread_sql(f'(({x}) >> {shift})')}"
+            f" | ({_spread_sql(f'(({y}) >> {shift})')} << 1))"
+        )
+        parts.append(
+            f"SELECT CAST({l} AS BIGINT) AS level, {tile} AS tile,"
+            f" CAST(COUNT(*) AS BIGINT) AS n{extra_aggs}"
+            f" FROM {table} GROUP BY 1, 2"
+        )
+    return " UNION ALL ".join(parts)
