@@ -1490,6 +1490,100 @@ def _tile_pyramid_sql():
     )
 
 
+# deterministic geo edits for the IVM query: %97 deleted, %31 moved
+# (+1.5 lat, +2.25 lon — BOTH coords change so the update record carries
+# the full location), %41 cloned to key+10M (inserts, coords from the
+# same key formula)
+_GEO_DEL, _GEO_MOVE, _GEO_INS = 97, 31, 41
+_INS_OFF = 10_000_000
+
+
+def _geo_points_mod(spark, sf_dir):
+    base = _customers_geo(spark, sf_dir)
+    kept = base.filter(F.col("c_custkey") % _GEO_DEL != 0)
+    moved = kept.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % _GEO_MOVE == 0, F.col("lat") + 1.5)
+        .otherwise(F.col("lat")).alias("lat"),
+        F.when(F.col("c_custkey") % _GEO_MOVE == 0, F.col("lon") + 2.25)
+        .otherwise(F.col("lon")).alias("lon"),
+    )
+    ins_key = F.col("c_custkey") + F.lit(_INS_OFF)
+    inserts = (
+        _base_customer(spark, sf_dir)
+        .filter(F.col("c_custkey") % _GEO_INS == 0)
+        .select(
+            ins_key.alias("c_custkey"),
+            (((ins_key * 7919) % 16000) / 100.0 - 80.0 + 0.003).alias("lat"),
+            (((ins_key * 104729) % 35000) / 100.0 - 175.0 + 0.007).alias("lon"),
+        )
+    )
+    return moved.unionByName(inserts)
+
+
+def _base_customer(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+
+_GEO_MOD_SQL = f"""
+SELECT c_custkey,
+       CASE WHEN c_custkey % {_GEO_MOVE} = 0
+            THEN lat + CAST(1.5 AS DOUBLE) ELSE lat END AS lat,
+       CASE WHEN c_custkey % {_GEO_MOVE} = 0
+            THEN lon + CAST(2.25 AS DOUBLE) ELSE lon END AS lon
+FROM (SELECT c_custkey, {{lat}} AS lat, {{lon}} AS lon FROM customer
+      WHERE c_custkey % {_GEO_DEL} != 0)
+UNION ALL
+SELECT c_custkey + {_INS_OFF} AS c_custkey,
+       ((((c_custkey + {_INS_OFF}) * 7919) % 16000) / CAST(100.0 AS DOUBLE)
+          - CAST(80.0 AS DOUBLE) + CAST(0.003 AS DOUBLE)) AS lat,
+       ((((c_custkey + {_INS_OFF}) * 104729) % 35000) / CAST(100.0 AS DOUBLE)
+          - CAST(175.0 AS DOUBLE) + CAST(0.007 AS DOUBLE)) AS lon
+FROM customer WHERE c_custkey % {_GEO_INS} = 0
+"""
+
+
+def q_pyramid_delta(spark, sf_dir):
+    """Incremental pyramid maintenance: diff two point snapshots with the
+    REAL diff operator, then turn the changeset into per-(level, tile)
+    count deltas — |changeset|-cost update of the materialized pyramid.
+    The oracle recomputes the delta the expensive way (pyramid(mod) -
+    pyramid(base) full-outer) — a genuinely independent cross-check of
+    the IVM path."""
+    from geodiff_spark.spatial.cells import pyramid_delta
+
+    info = TableInfo(
+        name="points", columns=("c_custkey", "lat", "lon"), pk=("c_custkey",)
+    )
+    cs = diff_table(
+        _customers_geo(spark, sf_dir), _geo_points_mod(spark, sf_dir), info
+    )
+    return pyramid_delta(
+        cs.df,
+        F.col("old_lat"), F.col("old_lon"),
+        F.col("new_lat"), F.col("new_lon"),
+        _RES, (2, _COARSE, _RES),
+    )
+
+
+def _pyramid_delta_sql():
+    from geodiff_spark.spatial.cells import pyramid_sql
+
+    base = f"(SELECT {_LAT} AS lat, {_LON} AS lon FROM customer)"
+    mod = "(" + _GEO_MOD_SQL.format(lat=_LAT, lon=_LON) + ")"
+    pb = pyramid_sql(base, "lat", "lon", _RES, (2, _COARSE, _RES))
+    pm = pyramid_sql(mod, "lat", "lon", _RES, (2, _COARSE, _RES))
+    return f"""
+    WITH pb AS ({pb}), pm AS ({pm})
+    SELECT COALESCE(pm.level, pb.level) AS level,
+           COALESCE(pm.tile, pb.tile) AS tile,
+           COALESCE(pm.n, 0) - COALESCE(pb.n, 0) AS dn
+    FROM pm FULL OUTER JOIN pb
+      ON pm.level = pb.level AND pm.tile = pb.tile
+    WHERE COALESCE(pm.n, 0) - COALESCE(pb.n, 0) != 0
+    """
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1561,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "asof_clicks": q_asof_clicks,
         "tile_pyramid": q_tile_pyramid,
+        "pyramid_delta": q_pyramid_delta,
     }
 
 
@@ -1610,6 +1705,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _sessionize_sql(),
         "asof_clicks": _ASOF_SQL,
         "tile_pyramid": _tile_pyramid_sql(),
+        "pyramid_delta": _pyramid_delta_sql(),
         # round 2: the LSH family is hard-verified too — the oracles
         # recompute FNV-1a/splitmix64 signatures, simhashes, and
         # hyperplane buckets from scratch in DuckDB (functions/hash_sql.py)

@@ -324,3 +324,84 @@ def pyramid_sql(
             f" FROM {table} GROUP BY 1, 2"
         )
     return " UNION ALL ".join(parts)
+
+
+def pyramid_delta(
+    changes,
+    old_lat: Column,
+    old_lon: Column,
+    new_lat: Column,
+    new_lon: Column,
+    fine_res: int,
+    levels: tuple[int, ...],
+    op_col: str = "op",
+):
+    """Incremental tile-pyramid maintenance: turn a geodiff changeset
+    into per-(level, tile) count deltas — the materialized pyramid is
+    then updated by merging |changeset|-sized deltas instead of
+    rescanning 10^12 points (the IVM shape: cost follows the CHANGE
+    rate, not the corpus size).
+
+    deletes contribute -1 at the old location, inserts +1 at the new,
+    updates -1 old / +1 new (a point that did not move nets to zero in
+    the aggregation and is dropped). Same spread-once/shift-per-level
+    kernel as pyramid_rollup; one shuffle over ~|changes| x |levels|
+    rows. Returns (level, tile, dn) with dn != 0.
+
+    Contract on partial updates: changeset UPDATE records carry only
+    CHANGED columns (wire-faithful Undefined emission, operators/
+    diff.py) — a location-moving update therefore has both old and new
+    coordinates present, while an update that does not touch the
+    location columns has them Undefined on both sides and correctly
+    contributes no delta (each arm drops rows whose coordinates are
+    null). An update that changes only ONE of lat/lon must be enriched
+    against the base snapshot first (the apply_table point-lookup
+    join) before calling this.
+    """
+    minus = (
+        changes.filter(F.col(op_col).isin("delete", "update"))
+        .select(old_lat.alias("_lat"), old_lon.alias("_lon"), F.lit(-1).alias("_w"))
+        .filter(F.col("_lat").isNotNull() & F.col("_lon").isNotNull())
+    )
+    plus = (
+        changes.filter(F.col(op_col).isin("insert", "update"))
+        .select(new_lat.alias("_lat"), new_lon.alias("_lon"), F.lit(1).alias("_w"))
+        .filter(F.col("_lat").isNotNull() & F.col("_lon").isNotNull())
+    )
+    pts = minus.unionByName(plus)
+    x, y = xy_expr(F.col("_lat"), F.col("_lon"), fine_res)
+    base = pts.select(
+        _spread_expr(x).alias("_sx"), _spread_expr(y).alias("_sy"), "_w"
+    )
+    tiles = []
+    for l in sorted(levels):
+        shift = fine_res - l
+        head = MODE_BIT | (l << RES_SHIFT)
+        tile = (
+            F.lit(head)
+            .bitwiseOR(F.shiftright(F.col("_sx"), 2 * shift).bitwiseAND(F.lit(_M1)))
+            .bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(F.col("_sy"), 2 * shift).bitwiseAND(F.lit(_M1)), 1
+                )
+            )
+        )
+        tiles.append(F.struct(F.lit(l).cast("long").alias("level"), tile.alias("tile")))
+    return (
+        base.select(F.explode(F.array(*tiles)).alias("lt"), "_w")
+        .groupBy(F.col("lt.level").alias("level"), F.col("lt.tile").alias("tile"))
+        .agg(F.sum("_w").cast("long").alias("dn"))
+        .filter(F.col("dn") != 0)
+    )
+
+
+def merge_pyramid(base_pyramid, delta):
+    """Apply :func:`pyramid_delta` output to a materialized pyramid:
+    full-outer merge on (level, tile), n' = n + dn, empty tiles drop.
+    Both sides are (level, tile)-keyed, so on a store bucketed by tile
+    this is the zero-Exchange merge of sources/snapshots.py."""
+    joined = base_pyramid.join(delta, ["level", "tile"], "full_outer")
+    n = F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))
+    return joined.select(
+        "level", "tile", n.cast("long").alias("n")
+    ).filter(F.col("n") > 0)

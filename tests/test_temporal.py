@@ -121,3 +121,24 @@ def test_pyramid_codegen_and_single_shuffle(spark):
     for lv in (2, 4, 7):
         assert lv in {r.level for r in rows}
     assert sum(r.n for r in rows) == 3 * n_pts
+
+
+def test_pyramid_delta_merges_to_mod_pyramid(spark):
+    """IVM invariant: pyramid(base) ⊕ delta(changeset) == pyramid(mod)."""
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+    from geodiff_spark.spatial.cells import merge_pyramid, pyramid_rollup
+
+    base_p = pyramid_rollup(
+        E._customers_geo(spark, SF), F.col("lat"), F.col("lon"),
+        E._RES, (2, E._COARSE, E._RES),
+    )
+    mod_p = pyramid_rollup(
+        E._geo_points_mod(spark, SF), F.col("lat"), F.col("lon"),
+        E._RES, (2, E._COARSE, E._RES),
+    )
+    delta = E.queries()["pyramid_delta"](spark, SF)
+    merged = merge_pyramid(base_p, delta)
+    got = sorted(map(tuple, merged.collect()))
+    exp = sorted(map(tuple, mod_p.collect()))
+    assert got == exp
