@@ -161,3 +161,53 @@ class VersionedSnapshotStore(SnapshotStore):
             self.read(table, version=v_to),
             info,
         )
+
+    def compact(self, table: str, info: TableInfo) -> int:
+        """Small-file compaction: rewrite the head version so every
+        bucket is exactly ONE file (repartition to bucket count on the
+        PK before the bucketed write — without it each writer task
+        emits a file per bucket it touches, the classic small-file
+        accretion of frequent commits). Data is byte-identical; the
+        result is committed as a NEW version (time travel to the
+        uncompacted one still works), like Iceberg's rewrite_data_files
+        action. Returns the new version."""
+        from pyspark.sql import functions as F
+
+        head = self.read(table)
+        # repartition on the EXPLICIT bucket-id expression, not the PK:
+        # a bucketed-table scan already advertises HashPartitioning(pk,
+        # n) so `repartition(n, pk)` is optimized away and the write
+        # re-emits one file per (input file, bucket). pmod(murmur3, n)
+        # IS Spark's bucket id, so each shuffle partition holds exactly
+        # one whole bucket -> exactly n_buckets files.
+        compacted = head.repartition(
+            self.n_buckets, F.pmod(F.hash(*info.pk), F.lit(self.n_buckets))
+        )
+        return self.commit(compacted, table, info)
+
+    def rollback(self, table: str, to_version: int, *, branch: str = "main") -> int:
+        """Move a branch pointer back to an earlier version (metadata
+        only — the bad version stays readable for forensics until
+        expired)."""
+        return self.make_branch(table, branch, at_version=to_version)
+
+    def expire_versions(self, table: str, *, keep_last: int = 1) -> list[int]:
+        """Retention GC: drop version tables that are (a) older than the
+        newest ``keep_last`` and (b) not pinned by any branch. Publishes
+        the pruned log BEFORE dropping storage, so a crash mid-expire
+        never leaves a log entry pointing at dropped data. Returns the
+        expired version numbers."""
+        log = self._log(table)
+        pinned = set(log["branches"].values())
+        versions = sorted(int(v) for v in log["versions"])
+        keep = set(versions[-keep_last:]) | pinned
+        expired = [v for v in versions if v not in keep]
+        if not expired:
+            return []
+        dropped_names = [log["versions"][str(v)]["table"] for v in expired]
+        for v in expired:
+            del log["versions"][str(v)]
+        self._publish(table, log)
+        for name in dropped_names:
+            self.drop(name)
+        return expired
