@@ -224,3 +224,56 @@ def test_dedup_stream_first_seen_wins(spark, tmp_path):
     q.stop()
     got = sorted(r["text"] for r in spark.sql("select * from dedup_out").collect())
     assert got == ["alpha text", "beta text", "gamma text"]
+
+
+def test_tile_counts_stream_matches_batch(spark, tmp_path):
+    """Streaming tile rollup == batch groupBy on the same points."""
+    import shutil
+
+    from geodiff_spark.sources.tiled import tile_of_cell
+    from geodiff_spark.spatial.cells import cell_expr
+    from geodiff_spark.streaming.spatial import tile_counts_stream
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    # derive deterministic lat/lon from user_id (events carry no geo)
+    pts_batch = ev.select(
+        "ts",
+        ((F.col("user_id") * 37 % 160).cast("double") - 80.0).alias("lat"),
+        ((F.col("user_id") * 91 % 350).cast("double") - 175.0).alias("lon"),
+    )
+    src = tmp_path / "pts_stream"
+    src.mkdir()
+    shutil.copy(f"{sf}/events.parquet", src / "part-0.parquet")
+    stream = spark.readStream.schema(ev.schema).parquet(str(src)).select(
+        "ts",
+        ((F.col("user_id") * 37 % 160).cast("double") - 80.0).alias("lat"),
+        ((F.col("user_id") * 91 % 350).cast("double") - 175.0).alias("lon"),
+    )
+    q = (
+        tile_counts_stream(
+            stream, F.col("lat"), F.col("lon"), fine_res=9, tile_res=4,
+            window="6 hours", watermark="1 hour",
+        )
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tile_counts")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["window"]["start"], r["tile"]): r["n"]
+        for r in spark.sql("select * from tile_counts").collect()
+    }
+    cell = cell_expr(F.col("lat"), F.col("lon"), 9)
+    exp = {
+        (r["w"]["start"], r["tile"]): r["n"]
+        for r in pts_batch.withColumn("tile", tile_of_cell(cell, 9, 4))
+        .groupBy(
+            F.window(F.col("ts").cast("timestamp"), "6 hours").alias("w"), "tile"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == exp and len(got) > 10
