@@ -490,3 +490,79 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --------------------------------------------------------------------------
+# incremental maintenance of the exact-dedup index (changeset-driven IVM)
+# --------------------------------------------------------------------------
+
+def dedup_index_update(
+    index: DataFrame,
+    changes: "ChangesetTable",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Maintain a fingerprint dedup index from a geodiff changeset at
+    |changeset| cost — the dedup-side analogue of the tile-pyramid IVM
+    (spatial/cells.py pyramid_delta): never rescan the corpus.
+
+    ``index`` is (fp, <id>) for the CURRENT corpus; ``changes`` is the
+    ChangesetTable produced by diff_table over the documents table
+    (op + old_*/new_* columns, reference IR semantics
+    docs/changeset-format.md). Returns ``(new_index, new_pairs)``:
+
+      * new_index: index minus deleted/pre-update rows, plus rows for
+        inserted/post-update texts — equals building the index on the
+        modified corpus from scratch (asserted in tests).
+      * new_pairs: exact-duplicate pairs (doc_a < doc_b, fp) that exist
+        in the modified corpus and touch at least one changed document —
+        precisely the pairs a from-scratch re-dedup would add.
+
+    Scale shape: one |changeset|-sized fingerprint projection, one
+    anti-join and one equi-join against the index on (id) and (fp).
+    With the index stored bucketed by fp (sources/snapshots.py
+    bucketing), the probe join is co-located — no index reshuffle; the
+    1000-executor cost is proportional to the day's changes, not the
+    10^12-row corpus.
+    """
+    from geodiff_spark.functions.text import fingerprint_expr
+
+    df = changes.df
+    # wire-faithful IR: UPDATE rows carry NULL (Undefined) for unchanged
+    # columns and keep the PK on the old side — an update that does not
+    # touch the text leaves the index untouched
+    text_touched = (F.col("op") == "update") & F.col(f"new_{text_col}").isNotNull()
+    removed_ids = df.filter((F.col("op") == "delete") | text_touched).select(
+        F.col(f"old_{id_col}").alias(id_col)
+    )
+    added = df.filter((F.col("op") == "insert") | text_touched).select(
+        F.coalesce(F.col(f"new_{id_col}"), F.col(f"old_{id_col}")).alias(id_col),
+        fingerprint_expr(F.col(f"new_{text_col}")).alias("fp"),
+    )
+    # reselect: a USING-column anti-join moves the key to column 0
+    kept = index.join(removed_ids, id_col, "left_anti").select(*index.columns)
+    new_index = kept.unionByName(added.select(*index.columns))
+
+    a, i = added.alias("a"), new_index.alias("i")
+    pairs = (
+        a.join(i, (F.col("a.fp") == F.col("i.fp"))
+               & (F.col(f"a.{id_col}") != F.col(f"i.{id_col}")), "inner")
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"i.{id_col}")).alias("doc_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"i.{id_col}")).alias("doc_b"),
+            F.col("a.fp").alias("fp"),
+        )
+        .distinct()
+    )
+    return new_index, pairs
+
+
+def dedup_index_build(docs: DataFrame, *, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(fp, <id>) index over a corpus — the from-scratch twin."""
+    from geodiff_spark.functions.text import fingerprint_expr
+
+    return docs.select(
+        fingerprint_expr(F.col(text_col)).alias("fp"), F.col(id_col)
+    )

@@ -166,3 +166,94 @@ def asof_join(
     sel.append(F.col("_m")[right_ts].alias(f"match_{right_ts}"))
     sel.extend(F.col("_m")[c].alias(f"match_{c}") for c in right_payload)
     return out.select(*sel)
+
+
+def interval_join(
+    probe: DataFrame,
+    intervals: DataFrame,
+    *,
+    probe_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int,
+    probe_cols: list[str],
+    interval_cols: list[str],
+    keys: list[str] | None = None,
+    max_buckets: int | None = None,
+) -> DataFrame:
+    """Range-containment join: probe rows paired with every interval
+    where ``start <= ts <= end`` (closed; and equal ``keys`` if given)
+    — the operator Spark's equi-join planner lacks (a raw range theta-
+    join degenerates to a broadcast-nested-loop / cartesian product).
+
+    Bucketed-equi strategy: quantize time into ``bucket_seconds``-wide
+    buckets; each interval explodes to the buckets it overlaps (at most
+    duration/bucket + 1 rows — pick the bucket near the typical
+    interval length), each probe row lands in exactly ONE bucket, so
+    the equi-join on (keys..., bucket) + exact microsecond refine needs
+    no post-dedup. Shuffle is one hash exchange per side on the bucket
+    key; hot buckets split by AQE skew join.
+
+    ``max_buckets`` adds a row-level guard (job fails loudly) against
+    degenerate inputs whose intervals would explode the fan-out —
+    the same fail-don't-corrupt stance as diff's NULL-PK guard.
+
+    Timestamp columns may be TIMESTAMP or already-long microseconds.
+    """
+    keys = keys or []
+    g_us = int(bucket_seconds) * 1_000_000
+
+    def as_us(df, col):
+        return _micros(F.col(col)) if dict(df.dtypes)[col] == "timestamp" else F.col(col).cast("long")
+
+    s_us = as_us(intervals, start_col)
+    e_us = as_us(intervals, end_col)
+    sb = F.floor(s_us / F.lit(g_us)).cast("long")
+    eb = F.floor(e_us / F.lit(g_us)).cast("long")
+    iv = intervals.withColumn("_s_us", s_us).withColumn("_e_us", e_us)
+    if max_buckets is not None:
+        # fold the guard into the sequence bound itself so column pruning
+        # can't eliminate it (same discipline as diff._guard_null_pk)
+        eb = F.when(
+            F.assert_true(
+                eb - sb < F.lit(int(max_buckets)),
+                F.lit(f"interval spans >= {max_buckets} buckets"),
+            ).isNull(),
+            eb,
+        )
+    iv = iv.withColumn("_bkt", F.explode(F.sequence(sb, eb)))
+
+    t_us = as_us(probe, probe_ts)
+    pr = probe.withColumn("_t_us", t_us).withColumn(
+        "_bkt", F.floor(F.col("_t_us") / F.lit(g_us)).cast("long")
+    )
+    cond = [pr["_bkt"] == iv["_bkt"]] + [pr[k] == iv[k] for k in keys]
+    out = pr.join(iv, cond, "inner").filter(
+        (F.col("_t_us") >= F.col("_s_us")) & (F.col("_t_us") <= F.col("_e_us"))
+    )
+    return out.select(*[pr[c] for c in probe_cols], *[iv[c] for c in interval_cols])
+
+
+def interval_join_sql(
+    probe_src: str,
+    interval_src: str,
+    *,
+    probe_ts: str,
+    start_col: str,
+    end_col: str,
+    probe_cols: list[str],
+    interval_cols: list[str],
+    keys: list[str] | None = None,
+) -> str:
+    """Independent semantic oracle: a plain BETWEEN theta-join (DuckDB
+    plans it as an IEJoin) — no bucket replay, so it cross-checks the
+    bucketing logic rather than restating it."""
+    keys = keys or []
+    on = " AND ".join(
+        [f"p.{probe_ts} BETWEEN i.{start_col} AND i.{end_col}"]
+        + [f"p.{k} = i.{k}" for k in keys]
+    )
+    sel = ", ".join(
+        [f"p.{c} AS {c}" for c in probe_cols] + [f"i.{c} AS {c}" for c in interval_cols]
+    )
+    return f"SELECT {sel} FROM ({probe_src}) p JOIN ({interval_src}) i ON {on}"

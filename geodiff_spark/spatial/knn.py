@@ -140,3 +140,52 @@ def knn_join_exact(
             .select(query_id_col, point_id_col, "dist_sq", "rank")
         )
     return functools.reduce(DataFrame.unionByName, settled)
+
+
+def radius_join(
+    points: DataFrame,
+    queries: DataFrame,
+    *,
+    radius: float,
+    res: int,
+    query_id_col: str = "qid",
+    point_id_col: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    q_lat_col: str = "qlat",
+    q_lon_col: str = "qlon",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Within-distance join: all points with squared-degree distance
+    <= radius^2 of each query (closed ball), EXACT.
+
+    Ring cover bound: any point within ``radius`` differs from the
+    query's cell by at most ceil(radius / cell_h) cells per axis
+    (cell_h = 180/2^res is the smaller cell side; lon cells are 2x
+    wider, so the same ring over-covers x). The k-ring handles lon
+    wrap; lat clamping at the poles only moves cells inward, never out
+    of cover. So cell-equi join + exact distance refine loses nothing.
+
+    Scale shape: the query side fans out (2*ring+1)^2 — broadcast when
+    small, shuffle-join on cell otherwise; the big point side is
+    encoded once and never duplicated. Hot cells split via AQE skew
+    join; candidate mass per query is bounded by local point density
+    in the covered ring, never O(|points|).
+    """
+    import math
+
+    cell_h = 180.0 / (1 << res)
+    ring = max(1, math.ceil(radius / cell_h))
+    q = queries.withColumn(
+        "_qcell", cell_expr(F.col(q_lat_col), F.col(q_lon_col), res)
+    ).withColumn("cell", F.explode(F.array_distinct(kring_udf(F.col("_qcell"), ring))))
+    if broadcast_queries:
+        q = F.broadcast(q)
+    p = points.withColumn("cell", cell_expr(F.col(lat_col), F.col(lon_col), res))
+    cand = p.join(q, "cell", "inner")
+    dlat = F.col(lat_col) - F.col(q_lat_col)
+    dlon = F.col(lon_col) - F.col(q_lon_col)
+    cand = cand.withColumn("dist_sq", dlat * dlat + dlon * dlon)
+    return cand.filter(F.col("dist_sq") <= F.lit(radius) * F.lit(radius)).select(
+        query_id_col, point_id_col, "dist_sq"
+    )
