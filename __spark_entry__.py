@@ -1585,6 +1585,174 @@ def _pyramid_delta_sql():
 
 
 # ---------------------------------------------------------------------------
+# round-2 sketch / radius / interval / incremental-dedup block
+# ---------------------------------------------------------------------------
+
+def q_hll_users(spark, sf_dir):
+    """Per-event-type HLL distinct-user registers (p=8): mergeable
+    partial state — one partial-agg shuffle of <= |types|*256 rows
+    instead of a raw user_id shuffle. Registers are bit-exact integers
+    (57-bit seeded remix); the DuckDB oracle recomputes them."""
+    from geodiff_spark.operators.sketch import M57, hll_sketch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hll_sketch(ev, ["event_type"], F.col("user_id") % M57, p=8)
+
+
+def _hll_users_sql():
+    from geodiff_spark.operators.sketch import M57, hll_sketch_sql
+
+    return hll_sketch_sql(
+        "SELECT event_type, user_id FROM events",
+        ["event_type"],
+        f"user_id % {M57}",
+        p=8,
+    )
+
+
+def q_countmin_terms(spark, sf_dir):
+    """Count-Min term-frequency sketch over document tokens (d=3,
+    w=256): constant-size counter table regardless of corpus size,
+    map-side partial sums, merge = add."""
+    from geodiff_spark.operators.sketch import cm_sketch
+
+    toks = _spread_docs(spark, sf_dir).select(
+        F.explode(TX.tokens_expr(F.col("text"))).alias("tok")
+    )
+    return cm_sketch(toks, TX.fingerprint_expr(F.col("tok")), depth=3, width=256)
+
+
+def _countmin_terms_sql():
+    from geodiff_spark.operators.sketch import cm_sketch_sql
+
+    src = f"SELECT unnest({TX.tokens_sql('text')}) AS tok FROM documents"
+    return cm_sketch_sql(src, TX.fingerprint_sql("tok"), depth=3, width=256)
+
+
+_RADIUS = 6.0
+_RADIUS_RES = 4
+
+
+def q_radius_join(spark, sf_dir):
+    """Within-distance spatial join (closed ball, exact): k-ring cell
+    cover + squared-degree refine; the big point side is encoded once
+    and never duplicated. Oracle is the pure semantic predicate (no
+    ring replay) — it cross-checks the cover bound."""
+    from geodiff_spark.spatial.knn import radius_join
+
+    pts = _customers_geo(spark, sf_dir)
+    queries_df = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .filter("n_nationkey < 5")
+        .select(
+            F.col("n_nationkey").alias("qid"),
+            F.expr(_QLAT).alias("qlat"),
+            F.expr(_QLON).alias("qlon"),
+        )
+    )
+    return radius_join(
+        pts, queries_df, radius=_RADIUS, res=_RADIUS_RES, point_id_col="c_custkey"
+    )
+
+
+def _radius_join_sql():
+    qlat = _QLAT.replace("n_nationkey", "q.n_nationkey")
+    qlon = _QLON.replace("n_nationkey", "q.n_nationkey")
+    return f"""
+    SELECT q.n_nationkey AS qid, c.c_custkey AS c_custkey,
+      ({_LAT} - {qlat}) * ({_LAT} - {qlat})
+      + ({_LON} - {qlon}) * ({_LON} - {qlon}) AS dist_sq
+    FROM customer c, nation q
+    WHERE q.n_nationkey < 5
+      AND ({_LAT} - {qlat}) * ({_LAT} - {qlat})
+          + ({_LON} - {qlon}) * ({_LON} - {qlon})
+          <= CAST({_RADIUS} AS DOUBLE) * CAST({_RADIUS} AS DOUBLE)
+    """
+
+
+def q_interval_join(spark, sf_dir):
+    """Attribution-style range-containment join: clicks inside purchase
+    windows [ts, ts + (id%7+1)h] — bucketed-equi strategy (each probe
+    row lands in ONE bucket: no dedup), refined microsecond-exact.
+    Oracle is DuckDB's native BETWEEN theta-join (IEJoin)."""
+    from geodiff_spark.operators.temporal import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    win = ev.filter("event_type = 'purchase' AND event_id % 20 = 0").select(
+        F.col("event_id").alias("win_id"),
+        us.alias("s_us"),
+        (us + (F.col("event_id") % 7 + 1) * F.lit(3_600_000_000)).alias("e_us"),
+    )
+    clicks = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), us.alias("t_us")
+    )
+    return interval_join(
+        clicks, win, probe_ts="t_us", start_col="s_us", end_col="e_us",
+        bucket_seconds=3600, probe_cols=["click_id", "t_us"],
+        interval_cols=["win_id"], max_buckets=16,
+    )
+
+
+def _interval_join_sql():
+    from geodiff_spark.operators.temporal import interval_join_sql
+
+    win = (
+        "SELECT event_id AS win_id, epoch_us(ts) AS s_us, "
+        "epoch_us(ts) + (event_id % 7 + 1) * 3600000000 AS e_us "
+        "FROM events WHERE event_type = 'purchase' AND event_id % 20 = 0"
+    )
+    clicks = (
+        "SELECT event_id AS click_id, epoch_us(ts) AS t_us "
+        "FROM events WHERE event_type = 'click'"
+    )
+    return interval_join_sql(
+        clicks, win, probe_ts="t_us", start_col="s_us", end_col="e_us",
+        probe_cols=["click_id", "t_us"], interval_cols=["win_id"],
+    )
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Changeset-driven IVM of the exact-dedup index: diff two corpus
+    snapshots (inserts %13, updates %17, deletes %19 over the doubled
+    corpus), update the fingerprint index at |changeset| cost, emit the
+    duplicate pairs the changes introduced. The oracle recomputes the
+    changed-pair set from the modified corpus in closed form."""
+    from geodiff_spark.operators.dedup import dedup_index_build, dedup_index_update
+
+    info = TableInfo(name="documents", columns=("doc_id", "text"), pk=("doc_id",))
+    doubled = _docs_doubled(spark, sf_dir)
+    base = doubled.filter("doc_id % 13 != 0")
+    mod = doubled.filter("doc_id % 19 != 0").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 17 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    changes = diff_table(base, mod, info)
+    index = dedup_index_build(base)
+    _, pairs = dedup_index_update(index, changes)
+    return pairs
+
+
+def _incremental_dedup_sql():
+    fp = TX.fingerprint_sql("text")
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM ({_DOCS_DOUBLED_SQL}) WHERE doc_id % 19 != 0
+    ), fps AS (
+      SELECT doc_id, {fp} AS fp FROM corpus
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp AS fp
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    WHERE a.doc_id % 13 = 0 OR a.doc_id % 17 = 0
+       OR b.doc_id % 13 = 0 OR b.doc_id % 17 = 0
+    """
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -1655,6 +1823,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "asof_clicks": q_asof_clicks,
         "tile_pyramid": q_tile_pyramid,
+        "hll_users": q_hll_users,
+        "countmin_terms": q_countmin_terms,
+        "radius_join": q_radius_join,
+        "interval_join": q_interval_join,
+        "incremental_dedup": q_incremental_dedup,
         "pyramid_delta": q_pyramid_delta,
     }
 
@@ -1705,6 +1878,11 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _sessionize_sql(),
         "asof_clicks": _ASOF_SQL,
         "tile_pyramid": _tile_pyramid_sql(),
+        "hll_users": _hll_users_sql(),
+        "countmin_terms": _countmin_terms_sql(),
+        "radius_join": _radius_join_sql(),
+        "interval_join": _interval_join_sql(),
+        "incremental_dedup": _incremental_dedup_sql(),
         "pyramid_delta": _pyramid_delta_sql(),
         # round 2: the LSH family is hard-verified too — the oracles
         # recompute FNV-1a/splitmix64 signatures, simhashes, and
