@@ -1752,6 +1752,57 @@ def _incremental_dedup_sql():
     """
 
 
+_S_LAT = "(((s_suppkey * 6037) % 16000) / CAST(100.0 AS DOUBLE) - CAST(80.0 AS DOUBLE) + CAST(0.011 AS DOUBLE))"
+_S_LON = "(((s_suppkey * 7561) % 35000) / CAST(100.0 AS DOUBLE) - CAST(175.0 AS DOUBLE) + CAST(0.019 AS DOUBLE))"
+_SEG_RES = 6
+
+
+def q_segment_join(spark, sf_dir):
+    """Segment-intersection join (customer tracks x supplier routes):
+    cell-cover candidates, pair kept only in the first overlap cell (no
+    distinct shuffle), exact CLRS orientation refine. Oracle is the raw
+    cross-join predicate — cross-checks cover + dedup."""
+    from geodiff_spark.spatial.segments import segment_intersect_join
+
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(
+            F.col("c_custkey").alias("aid"),
+            F.expr(_LAT).alias("ay0"),
+            F.expr(_LON).alias("ax0"),
+        )
+        .withColumn("ax1", F.col("ax0") + F.lit(0.4))
+        .withColumn("ay1", F.col("ay0") + F.lit(0.3))
+    )
+    supp = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .select(
+            F.col("s_suppkey").alias("bid"),
+            F.expr(_S_LAT).alias("by0"),
+            F.expr(_S_LON).alias("bx0"),
+        )
+        .withColumn("bx1", F.col("bx0") - F.lit(0.5))
+        .withColumn("by1", F.col("by0") + F.lit(0.45))
+    )
+    return segment_intersect_join(
+        cust, supp, res=_SEG_RES, a_id="aid", b_id="bid"
+    )
+
+
+def _segment_join_sql():
+    from geodiff_spark.spatial.segments import segments_intersect_sql
+
+    ax0, ay0 = _LON, _LAT
+    ax1, ay1 = f"({_LON} + CAST(0.4 AS DOUBLE))", f"({_LAT} + CAST(0.3 AS DOUBLE))"
+    bx0, by0 = _S_LON, _S_LAT
+    bx1, by1 = f"({_S_LON} - CAST(0.5 AS DOUBLE))", f"({_S_LAT} + CAST(0.45 AS DOUBLE))"
+    pred = segments_intersect_sql(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1)
+    return f"""
+    SELECT c.c_custkey AS aid, s.s_suppkey AS bid
+    FROM customer c, supplier s WHERE {pred}
+    """
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1828,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_join": q_radius_join,
         "interval_join": q_interval_join,
         "incremental_dedup": q_incremental_dedup,
+        "segment_join": q_segment_join,
         "pyramid_delta": q_pyramid_delta,
     }
 
@@ -1883,6 +1935,7 @@ def oracle_sql() -> dict[str, str]:
         "radius_join": _radius_join_sql(),
         "interval_join": _interval_join_sql(),
         "incremental_dedup": _incremental_dedup_sql(),
+        "segment_join": _segment_join_sql(),
         "pyramid_delta": _pyramid_delta_sql(),
         # round 2: the LSH family is hard-verified too — the oracles
         # recompute FNV-1a/splitmix64 signatures, simhashes, and
