@@ -1752,6 +1752,25 @@ def _incremental_dedup_sql():
     """
 
 
+def q_histo_tokens(spark, sf_dir):
+    """Per-language log-histogram sketch of document token counts:
+    deterministic mergeable quantiles (<= 6.25% relative value error),
+    O(64*8) bins per group, one partial-agg shuffle; merge = add."""
+    from geodiff_spark.operators.sketch import histo_sketch
+
+    return histo_sketch(
+        _spread_docs(spark, sf_dir), ["lang"], TX.token_count_expr(F.col("text"))
+    )
+
+
+def _histo_tokens_sql():
+    from geodiff_spark.operators.sketch import histo_sketch_sql
+
+    return histo_sketch_sql(
+        "SELECT lang, text FROM documents", ["lang"], TX.token_count_sql("text")
+    )
+
+
 _S_LAT = "(((s_suppkey * 6037) % 16000) / CAST(100.0 AS DOUBLE) - CAST(80.0 AS DOUBLE) + CAST(0.011 AS DOUBLE))"
 _S_LON = "(((s_suppkey * 7561) % 35000) / CAST(100.0 AS DOUBLE) - CAST(175.0 AS DOUBLE) + CAST(0.019 AS DOUBLE))"
 _SEG_RES = 6
@@ -1880,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "incremental_dedup": q_incremental_dedup,
         "segment_join": q_segment_join,
+        "histo_tokens": q_histo_tokens,
         "pyramid_delta": q_pyramid_delta,
     }
 
@@ -1936,6 +1956,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_join": _interval_join_sql(),
         "incremental_dedup": _incremental_dedup_sql(),
         "segment_join": _segment_join_sql(),
+        "histo_tokens": _histo_tokens_sql(),
         "pyramid_delta": _pyramid_delta_sql(),
         # round 2: the LSH family is hard-verified too — the oracles
         # recompute FNV-1a/splitmix64 signatures, simhashes, and

