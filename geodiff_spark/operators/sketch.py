@@ -114,6 +114,17 @@ def hll_sketch(
     then <= |groups| * 2^p rows shuffled. Merge two sketches with
     :func:`hll_merge` (same max, no raw data).
     """
+    reg, rho = hll_reg_rho(item57, p, seed)
+    return (
+        df.select(*group_cols, reg.alias("reg"), rho.alias("rho"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_reg_rho(item57: Column, p: int = 8, seed: int = HLL_SEED):
+    """(register, rho) column pair — shared by the batch sketch and the
+    streaming windowed sketch (streaming/sketch.py)."""
     w = 57 - p
     x = remix57_col(item57, seed)
     reg = F.shiftright(x, w).cast("long")
@@ -124,11 +135,7 @@ def hll_sketch(
     rho = F.when(rem == 0, F.lit(w + 1).cast("long")).otherwise(
         F.lit(w).cast("long") - bitlen + F.lit(1).cast("long")
     )
-    return (
-        df.select(*group_cols, reg.alias("reg"), rho.alias("rho"))
-        .groupBy(*group_cols, "reg")
-        .agg(F.max("rho").alias("max_rho"))
-    )
+    return reg, rho
 
 
 def hll_sketch_sql(

@@ -214,3 +214,68 @@ def test_histo_merge_is_add(spark):
         .agg(F.sum("cnt").alias("cnt"))
     )
     assert sorted(map(tuple, one.collect())) == sorted(map(tuple, two.collect()))
+
+
+def test_hll_stream_matches_batch(spark, tmp_path):
+    """Streaming windowed registers == batch groupBy(window) registers
+    on the same rows (the batch twin is the oracle)."""
+    import shutil
+
+    from geodiff_spark.operators.sketch import M57
+    from geodiff_spark.streaming.sketch import hll_stream
+
+    rows = [
+        (i, f"2026-01-01 {10 + (i % 3)}:{i % 60:02d}:00", i * 37 % 211)
+        for i in range(300)
+    ]
+    df = (
+        spark.createDataFrame(rows, "eid long, ts string, user long")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("g", (F.col("eid") % 2).cast("long"))
+    )
+    stage, src = tmp_path / "hs_stage", tmp_path / "hs_src"
+    src.mkdir()
+    df.coalesce(1).write.parquet(str(stage))
+    for i, f in enumerate(sorted(stage.glob("part-*.parquet"))):
+        shutil.copy(f, src / f"b{i}.parquet")
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    out = hll_stream(
+        stream, ["g"], F.col("user") % M57, ts_col="ts",
+        window="1 hour", watermark="0 seconds", p=6,
+    )
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("hll_stream_out")
+        .option("checkpointLocation", str(tmp_path / "hs_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    # append mode only emits CLOSED windows (watermark passed the end);
+    # the last window (12:00) stays open with availableNow — compare the
+    # closed ones against the batch twin
+    import datetime
+
+    cutoff = datetime.datetime(2026, 1, 1, 12, 0)
+    got = sorted(
+        (r["window"]["start"], r.g, r.reg, r.max_rho)
+        for r in spark.sql("select * from hll_stream_out").collect()
+        if r["window"]["start"] < cutoff
+    )
+    batch = (
+        hll_sketch(
+            df.withColumn("window", F.window("ts", "1 hour")),
+            ["window", "g"],
+            F.col("user") % M57,
+            p=6,
+        )
+        .collect()
+    )
+    want = sorted(
+        (r["window"]["start"], r.g, r.reg, r.max_rho)
+        for r in batch
+        if r["window"]["start"] < cutoff
+    )
+    assert got == want and len(got) > 0
