@@ -1822,6 +1822,78 @@ def _segment_join_sql():
     """
 
 
+_N_BX0 = "(CAST((n_nationkey * 73) % 300 AS DOUBLE) - CAST(160.0 AS DOUBLE))"
+_N_BY0 = "(CAST((n_nationkey * 37) % 140 AS DOUBLE) - CAST(65.0 AS DOUBLE))"
+_N_BW, _N_BH = 25.0, 12.0
+
+
+def q_rect_overlap(spark, sf_dir):
+    """Rectangle-overlay join: region tiles x nation bboxes — cell-cover
+    candidates, first-overlap-cell dedup, closed-form intersection area
+    (open overlap: touching edges excluded). Oracle is the raw cross-
+    join formula."""
+    from geodiff_spark.spatial.overlay import rect_overlap_join
+
+    tiles = _tiles(spark, sf_dir).select(
+        F.col("tile_id").alias("aid"),
+        F.col("x0").alias("ax0"), F.col("y0").alias("ay0"),
+        F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
+    )
+    boxes = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .select(
+            F.col("n_nationkey").alias("bid"),
+            F.expr(_N_BX0).alias("bx0"),
+            F.expr(_N_BY0).alias("by0"),
+        )
+        .withColumn("bx1", F.col("bx0") + F.lit(_N_BW))
+        .withColumn("by1", F.col("by0") + F.lit(_N_BH))
+    )
+    return rect_overlap_join(tiles, boxes, res=3, a_id="aid", b_id="bid")
+
+
+def _rect_overlap_sql():
+    from geodiff_spark.spatial.overlay import rect_overlap_sql
+
+    a_src = (
+        f"SELECT r_regionkey AS aid, {_TILE_X0} AS ax0, {_TILE_Y0} AS ay0, "
+        f"{_TILE_X0} + CAST({_TILE_W} AS DOUBLE) AS ax1, "
+        f"{_TILE_Y0} + CAST({_TILE_H} AS DOUBLE) AS ay1 FROM region"
+    )
+    b_src = (
+        f"SELECT n_nationkey AS bid, {_N_BX0} AS bx0, {_N_BY0} AS by0, "
+        f"{_N_BX0} + CAST({_N_BW} AS DOUBLE) AS bx1, "
+        f"{_N_BY0} + CAST({_N_BH} AS DOUBLE) AS by1 FROM nation"
+    )
+    return rect_overlap_sql(a_src, b_src, a_id="aid", b_id="bid")
+
+
+def q_join_size_est(spark, sf_dir):
+    """Join-cardinality estimation from Count-Min sketches: the CBO
+    primitive — both tables sketched in one scan each, the estimate is
+    a counter-table join (min over depths of the counter inner
+    product), never touching the raw tables again."""
+    from geodiff_spark.operators.sketch import M57, cm_inner_product, cm_sketch
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_custkey")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    cma = cm_sketch(orders, F.col("o_custkey") % M57, depth=3, width=256)
+    cmb = cm_sketch(cust, F.col("c_custkey") % M57, depth=3, width=256)
+    return cm_inner_product(cma, cmb)
+
+
+def _join_size_est_sql():
+    from geodiff_spark.operators.sketch import M57, cm_inner_product_sql, cm_sketch_sql
+
+    cma = cm_sketch_sql(
+        "SELECT o_custkey FROM orders", f"o_custkey % {M57}", depth=3, width=256
+    )
+    cmb = cm_sketch_sql(
+        "SELECT c_custkey FROM customer", f"c_custkey % {M57}", depth=3, width=256
+    )
+    return cm_inner_product_sql(cma, cmb)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1900,6 +1972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "segment_join": q_segment_join,
         "histo_tokens": q_histo_tokens,
+        "rect_overlap": q_rect_overlap,
+        "join_size_est": q_join_size_est,
         "pyramid_delta": q_pyramid_delta,
     }
 
@@ -1957,6 +2031,8 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": _incremental_dedup_sql(),
         "segment_join": _segment_join_sql(),
         "histo_tokens": _histo_tokens_sql(),
+        "rect_overlap": _rect_overlap_sql(),
+        "join_size_est": _join_size_est_sql(),
         "pyramid_delta": _pyramid_delta_sql(),
         # round 2: the LSH family is hard-verified too — the oracles
         # recompute FNV-1a/splitmix64 signatures, simhashes, and

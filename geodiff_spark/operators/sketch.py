@@ -368,3 +368,39 @@ def histo_quantile(bins: dict[int, int], q: float, sub: int = HISTO_SUB) -> floa
                 lo = hi = frac
             return (lo + hi) / 2.0
     return 0.0
+
+
+def cm_inner_product(cm_a: DataFrame, cm_b: DataFrame) -> DataFrame:
+    """Equi-join size estimate from two Count-Min sketches: per depth the
+    counter inner product over-estimates sum_k f_A(k)*f_B(k) (the exact
+    join cardinality); min over depths tightens it. Returns a 1-row
+    DataFrame (est long).
+
+    This is the 100 TB join-planning primitive: both sketches are
+    depth*width counters built in one scan each (possibly days apart,
+    possibly merged from partial sketches) — the estimate itself costs a
+    counter-table join, never touching the raw tables.
+    """
+    a, b = cm_a.alias("a"), cm_b.alias("b")
+    per_depth = (
+        a.join(
+            b,
+            (F.col("a.depth") == F.col("b.depth")) & (F.col("a.col") == F.col("b.col")),
+            "inner",
+        )
+        .groupBy(F.col("a.depth").alias("depth"))
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("ip"))
+    )
+    return per_depth.agg(F.min("ip").alias("est"))
+
+
+def cm_inner_product_sql(cm_a_src: str, cm_b_src: str) -> str:
+    """DuckDB twin of :func:`cm_inner_product`."""
+    return f"""
+    WITH a AS ({cm_a_src}), b AS ({cm_b_src}), d AS (
+      SELECT a.depth AS depth, SUM(a.cnt * b.cnt) AS ip
+      FROM a JOIN b ON a.depth = b.depth AND a.col = b.col
+      GROUP BY a.depth
+    )
+    SELECT MIN(ip) AS est FROM d
+    """
