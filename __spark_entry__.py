@@ -1822,6 +1822,26 @@ def _segment_join_sql():
     """
 
 
+def q_geohash_assign(spark, sf_dir):
+    """Geohash encoding of the customer points (precision 6) — the
+    public interchange cell scheme next to the native Morton cells;
+    pure JVM spread+substr expressions, char-exact vs the SQL twin."""
+    from geodiff_spark.spatial.geohash import geohash_expr
+
+    return _customers_geo(spark, sf_dir).select(
+        "c_custkey", geohash_expr(F.col("lat"), F.col("lon"), 6).alias("gh")
+    )
+
+
+def _geohash_assign_sql():
+    from geodiff_spark.spatial.geohash import geohash_sql
+
+    return geohash_sql(
+        f"SELECT c_custkey, {_LAT} AS lat, {_LON} AS lon FROM customer",
+        "lat", "lon", "gh", ["c_custkey"], 6,
+    )
+
+
 _N_BX0 = "(CAST((n_nationkey * 73) % 300 AS DOUBLE) - CAST(160.0 AS DOUBLE))"
 _N_BY0 = "(CAST((n_nationkey * 37) % 140 AS DOUBLE) - CAST(65.0 AS DOUBLE))"
 _N_BW, _N_BH = 25.0, 12.0
@@ -1974,6 +1994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histo_tokens": q_histo_tokens,
         "rect_overlap": q_rect_overlap,
         "join_size_est": q_join_size_est,
+        "geohash_assign": q_geohash_assign,
         "pyramid_delta": q_pyramid_delta,
     }
 
@@ -2033,6 +2054,7 @@ def oracle_sql() -> dict[str, str]:
         "histo_tokens": _histo_tokens_sql(),
         "rect_overlap": _rect_overlap_sql(),
         "join_size_est": _join_size_est_sql(),
+        "geohash_assign": _geohash_assign_sql(),
         "pyramid_delta": _pyramid_delta_sql(),
         # round 2: the LSH family is hard-verified too — the oracles
         # recompute FNV-1a/splitmix64 signatures, simhashes, and
