@@ -1610,6 +1610,62 @@ def _hll_users_sql():
     )
 
 
+_HLL_P, _HLL_M, _HLL_W = 8, 256, 49
+_HLL_ALPHA_NUM = (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 * float(1 << 50)
+_POW2_50 = 1 << 50
+
+
+def q_hll_counts(spark, sf_dir):
+    """End-to-end HLL distinct estimate per event_type: registers ->
+    integer-scaled harmonic sum (S = sum 2^(50-rho) + empties*2^50) ->
+    raw bias-corrected estimate as ONE exact-over-exact division —
+    bit-exact cross-engine (the ln() small-range correction is driver-
+    side only, hll_estimate)."""
+    from geodiff_spark.operators.sketch import M57, hll_sketch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sk = hll_sketch(ev, ["event_type"], F.col("user_id") % M57, p=_HLL_P)
+    term = F.pow(F.lit(2.0), (F.lit(50) - F.col("max_rho")).cast("double")).cast(
+        "long"
+    )
+    ag = sk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_regs"), F.sum(term).alias("s_present")
+    )
+    s_scaled = (
+        F.col("s_present")
+        + (F.lit(_HLL_M).cast("long") - F.col("n_regs")) * F.lit(_POW2_50)
+    )
+    return ag.select(
+        "event_type",
+        "n_regs",
+        s_scaled.alias("s_scaled"),
+        (F.lit(_HLL_ALPHA_NUM) / s_scaled.cast("double")).alias("est"),
+    )
+
+
+def _hll_counts_sql():
+    from geodiff_spark.operators.sketch import M57, hll_sketch_sql
+
+    sk = hll_sketch_sql(
+        "SELECT event_type, user_id FROM events",
+        ["event_type"],
+        f"user_id % {M57}",
+        p=_HLL_P,
+    )
+    return f"""
+    WITH sk AS ({sk}), ag AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_regs,
+             SUM(CAST(pow(2.0, 50 - max_rho) AS BIGINT)) AS s_present
+      FROM sk GROUP BY event_type
+    )
+    SELECT event_type, n_regs,
+      s_present + ({_HLL_M} - n_regs) * {_POW2_50} AS s_scaled,
+      {_HLL_ALPHA_NUM!r} / CAST(s_present + ({_HLL_M} - n_regs) * {_POW2_50}
+                               AS DOUBLE) AS est
+    FROM ag
+    """
+
+
 def q_countmin_terms(spark, sf_dir):
     """Count-Min term-frequency sketch over document tokens (d=3,
     w=256): constant-size counter table regardless of corpus size,
@@ -1986,6 +2042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_clicks": q_asof_clicks,
         "tile_pyramid": q_tile_pyramid,
         "hll_users": q_hll_users,
+        "hll_counts": q_hll_counts,
         "countmin_terms": q_countmin_terms,
         "radius_join": q_radius_join,
         "interval_join": q_interval_join,
@@ -2046,6 +2103,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_clicks": _ASOF_SQL,
         "tile_pyramid": _tile_pyramid_sql(),
         "hll_users": _hll_users_sql(),
+        "hll_counts": _hll_counts_sql(),
         "countmin_terms": _countmin_terms_sql(),
         "radius_join": _radius_join_sql(),
         "interval_join": _interval_join_sql(),
