@@ -266,6 +266,33 @@ def run_scaling(n_pages: int, levels: tuple[int, int] = (8, 32)) -> dict:
     return report
 
 
+
+
+def _env_probe() -> dict:
+    """Machine-health sample: (steal+system)/total CPU fraction over a
+    1 s window and a fixed single-thread float spin (ms). Recorded in
+    the bench JSON so slow numbers are attributable to the box, not the
+    engine (this VM shows multi-minute kernel-time storms)."""
+    def cpu_line():
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = list(map(int, parts))
+        return vals
+
+    a = cpu_line()
+    time.sleep(1.0)
+    b = cpu_line()
+    d = [y - x for x, y in zip(a, b)]
+    total = sum(d) or 1
+    sys_frac = (d[2] + (d[7] if len(d) > 7 else 0)) / total  # system + steal
+    t0 = time.perf_counter()
+    x = 1.0
+    for _ in range(2_000_000):
+        x = x * 1.0000001 + 1e-9
+    spin_ms = (time.perf_counter() - t0) * 1000.0
+    return {"sys_steal_frac": round(sys_frac, 4), "spin_ms": round(spin_ms, 1)}
+
+
 def run_suite() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -275,6 +302,7 @@ def run_suite() -> None:
 
     import __spark_entry__ as E
 
+    env_pre = _env_probe()
     headline = [
         "diff_changeset", "diff_summary", "apply_roundtrip", "invert_roundtrip",
         "concat_apply", "rebase_final", "cell_assign", "cell_rollup", "pip",
@@ -293,15 +321,22 @@ def run_suite() -> None:
         qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()
+    # best-of-3 split into TWO suite-wide passes (2 trials, then 1):
+    # the VM exhibits bursty stalls lasting minutes (measured 26/08/17:
+    # vmstat shows 30-85% SYSTEM time with ~0% user and 7-15% steal
+    # while an identical query goes 12s -> 263s), so three back-to-back
+    # trials can all land inside one burst — spacing the third trial a
+    # full suite pass away gives each query a shot at a quiet window.
     times: dict[str, float] = {}
-    for name in headline:
-        best = float("inf")
-        for _ in range(3):  # best-of-3: the VM has bursty co-tenant noise
-            # (single queries observed 3-4x slower under bursts)
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+    for trials in (2, 1):
+        for name in headline:
+            best = times.get(name, float("inf"))
+            for _ in range(trials):
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            times[name] = best
+    times = {k: round(v, 3) for k, v in times.items()}
 
     # pages diff throughput (the BASELINE.json headline metric);
     # generation is setup, only read->diff->rollup is timed
@@ -322,6 +357,7 @@ def run_suite() -> None:
 
     result = {
         "metric": "spatial-join + changeset-diff suite wall time",
+        "env": {"pre": env_pre, "post": _env_probe()},
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
