@@ -1588,6 +1588,93 @@ def _pyramid_delta_sql():
 # round-2 sketch / radius / interval / incremental-dedup block
 # ---------------------------------------------------------------------------
 
+_HIST_INFO = TableInfo(
+    name="orders_h",
+    columns=("o_orderkey", "o_totalprice", "o_orderpriority"),
+    pk=("o_orderkey",),
+)
+_V2_W = "o_orderkey % 17 != 0 AND o_orderkey % 23 != 0"
+_V2_PRIO = (
+    "CASE WHEN o_orderkey % 11 = 0 THEN o_orderpriority || '!' "
+    "ELSE o_orderpriority END"
+)
+
+
+def _hist_snaps(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    s0 = o.filter(_BASE_W)
+    s1 = o.filter(_MOD_W).withColumn("o_totalprice", F.expr(_UPD_PRICE))
+    s2 = (
+        o.filter(_V2_W)
+        .withColumn("o_totalprice", F.expr(_UPD_PRICE))
+        .withColumn("o_orderpriority", F.expr(_V2_PRIO))
+    )
+    return s0, s1, s2
+
+
+def q_scd2_history(spark, sf_dir):
+    """SCD2 history from changesets: base snapshot + two diffs -> one
+    interval table (pk, attrs, valid_from, valid_to) in a single
+    pk-shuffle fold (sparse wire-faithful updates carried forward by a
+    last_value window). Time-slicing it replaces changeset replay."""
+    from geodiff_spark.operators.history import scd2_from_changesets
+
+    s0, s1, s2 = _hist_snaps(spark, sf_dir)
+    cs1 = diff_table(s0, s1, _HIST_INFO)
+    cs2 = diff_table(s1, s2, _HIST_INFO)
+    return scd2_from_changesets(s0, [(1, cs1), (2, cs2)], _HIST_INFO)
+
+
+def _scd2_history_sql():
+    s0 = f"SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE {_BASE_W}"
+    s1 = (
+        f"SELECT o_orderkey, {_UPD_PRICE} AS o_totalprice, o_orderpriority "
+        f"FROM orders WHERE {_MOD_W}"
+    )
+    s2 = (
+        f"SELECT o_orderkey, {_UPD_PRICE} AS o_totalprice, {_V2_PRIO} AS "
+        f"o_orderpriority FROM orders WHERE {_V2_W}"
+    )
+    # closed-form SCD2 from the snapshot definitions: change points =
+    # first presence / gap re-insert / any attr change vs the previous
+    # PRESENT version; closures = presence run ends before max version.
+    return f"""
+    WITH u AS (
+      SELECT 0 AS v, * FROM ({s0})
+      UNION ALL SELECT 1, * FROM ({s1})
+      UNION ALL SELECT 2, * FROM ({s2})
+    ), m AS (
+      SELECT u.*,
+        LAG(v) OVER w AS pv,
+        LAG(o_totalprice) OVER w AS pp,
+        LAG(o_orderpriority) OVER w AS ppr,
+        LEAD(v) OVER w AS nv
+      FROM u WINDOW w AS (PARTITION BY o_orderkey ORDER BY v)
+    ), ev AS (
+      SELECT o_orderkey, v, o_totalprice, o_orderpriority, 1 AS is_open
+      FROM m
+      WHERE pv IS NULL OR pv < v - 1
+         OR pp IS DISTINCT FROM o_totalprice
+         OR ppr IS DISTINCT FROM o_orderpriority
+      UNION ALL
+      SELECT o_orderkey, v + 1 AS v, NULL, NULL, 0 AS is_open
+      FROM m
+      WHERE (nv IS NULL AND v < 2) OR nv > v + 1
+    ), iv AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority,
+        CAST(v AS BIGINT) AS valid_from,
+        CAST(LEAD(v) OVER (PARTITION BY o_orderkey ORDER BY v) AS BIGINT)
+          AS valid_to,
+        is_open
+      FROM ev
+    )
+    SELECT o_orderkey, o_totalprice, o_orderpriority, valid_from, valid_to
+    FROM iv WHERE is_open = 1
+    """
+
+
 def q_hll_users(spark, sf_dir):
     """Per-event-type HLL distinct-user registers (p=8): mergeable
     partial state — one partial-agg shuffle of <= |types|*256 rows
@@ -2043,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": q_tile_pyramid,
         "hll_users": q_hll_users,
         "hll_counts": q_hll_counts,
+        "scd2_history": q_scd2_history,
         "countmin_terms": q_countmin_terms,
         "radius_join": q_radius_join,
         "interval_join": q_interval_join,
@@ -2104,6 +2192,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_pyramid": _tile_pyramid_sql(),
         "hll_users": _hll_users_sql(),
         "hll_counts": _hll_counts_sql(),
+        "scd2_history": _scd2_history_sql(),
         "countmin_terms": _countmin_terms_sql(),
         "radius_join": _radius_join_sql(),
         "interval_join": _interval_join_sql(),

@@ -204,7 +204,9 @@ def interval_join(
     g_us = int(bucket_seconds) * 1_000_000
 
     def as_us(df, col):
-        return _micros(F.col(col)) if dict(df.dtypes)[col] == "timestamp" else F.col(col).cast("long")
+        if dict(df.dtypes)[col] in ("timestamp", "timestamp_ntz"):
+            return _micros(F.col(col))
+        return F.col(col).cast("long")
 
     s_us = as_us(intervals, start_col)
     e_us = as_us(intervals, end_col)
