@@ -1675,6 +1675,27 @@ def _scd2_history_sql():
     """
 
 
+def q_history_slice(spark, sf_dir):
+    """Time travel via the history table: slicing the SCD2 intervals at
+    version 1 must reproduce snapshot v1 exactly — one BETWEEN filter
+    instead of replaying changesets (the reference replays:
+    GEODIFF_applyChangeset per step)."""
+    from geodiff_spark.operators.history import scd2_from_changesets, snapshot_at
+
+    s0, s1, s2 = _hist_snaps(spark, sf_dir)
+    cs1 = diff_table(s0, s1, _HIST_INFO)
+    cs2 = diff_table(s1, s2, _HIST_INFO)
+    hist = scd2_from_changesets(s0, [(1, cs1), (2, cs2)], _HIST_INFO)
+    return snapshot_at(hist, 1, _HIST_INFO)
+
+
+def _history_slice_sql():
+    return (
+        f"SELECT o_orderkey, {_UPD_PRICE} AS o_totalprice, o_orderpriority "
+        f"FROM orders WHERE {_MOD_W}"
+    )
+
+
 def q_hll_users(spark, sf_dir):
     """Per-event-type HLL distinct-user registers (p=8): mergeable
     partial state — one partial-agg shuffle of <= |types|*256 rows
@@ -2131,6 +2152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users": q_hll_users,
         "hll_counts": q_hll_counts,
         "scd2_history": q_scd2_history,
+        "history_slice": q_history_slice,
         "countmin_terms": q_countmin_terms,
         "radius_join": q_radius_join,
         "interval_join": q_interval_join,
@@ -2193,6 +2215,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_users": _hll_users_sql(),
         "hll_counts": _hll_counts_sql(),
         "scd2_history": _scd2_history_sql(),
+        "history_slice": _history_slice_sql(),
         "countmin_terms": _countmin_terms_sql(),
         "radius_join": _radius_join_sql(),
         "interval_join": _interval_join_sql(),
