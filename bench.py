@@ -194,7 +194,10 @@ def run_scaling(n_pages: int, levels: tuple[int, int] = (8, 32)) -> dict:
             # N-core machine (GC/shuffle threads included) — the honest
             # stand-in for an N-executor cluster
             cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-        out = subprocess.run(cmd, capture_output=True, text=True, env=env, check=True)
+        out = subprocess.run(cmd, capture_output=True, text=True, env=env)
+        if out.returncode != 0:
+            sys.stderr.write(out.stderr[-4000:])
+            raise RuntimeError(f"scaling worker local[{cores}] failed rc={out.returncode}")
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
         results[cores] = json.loads(line)
     thr_lo = results[lo]["rows"] / results[lo]["seconds"]
