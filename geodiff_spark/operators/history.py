@@ -118,3 +118,65 @@ def snapshot_at(history: DataFrame, version: int, info: TableInfo) -> DataFrame:
         (F.col("valid_from") <= F.lit(version))
         & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(version)))
     ).select(*info.columns)
+
+
+def history_apply(
+    history: DataFrame,
+    cs: ChangesetTable,
+    version: int,
+    info: TableInfo,
+) -> DataFrame:
+    """Fold ONE changeset into an existing SCD2 history at |changeset|
+    cost — the incremental twin of :func:`scd2_from_changesets`
+    (asserted property-equal in tests), and the foreachBatch body for a
+    streaming CDC source (streaming/cdc.py): each epoch closes the
+    changed PKs' open intervals and appends the new states.
+
+    Scale shape: one semi/left join of the history's OPEN rows against
+    the (small) changeset PK set + one union — with the history stored
+    bucketed by pk the probe is co-located; closed rows are untouched
+    (append-friendly for an Iceberg MERGE)."""
+    pk = list(info.pk)
+    attrs = [c for c in info.columns if c not in pk]
+    df = cs.df
+    changed = df.select(
+        *[
+            F.coalesce(F.col(f"old_{c}"), F.col(f"new_{c}")).alias(c)
+            for c in pk
+        ]
+    ).distinct()
+
+    open_rows = history.filter(F.col("valid_to").isNull())
+    closing = open_rows.join(changed, pk, "left_semi").withColumn(
+        "valid_to", F.lit(version).cast("long")
+    )
+    untouched = history.filter(F.col("valid_to").isNotNull()).unionByName(
+        open_rows.join(changed, pk, "left_anti")
+    )
+
+    ins_upd = df.filter(F.col("op").isin("insert", "update")).select(
+        *[F.coalesce(F.col(f"new_{c}"), F.col(f"old_{c}")).alias(c) for c in pk],
+        *[F.col(f"new_{c}").alias(c) for c in attrs],
+    )
+    # sparse updates: pull unchanged attrs from the interval being closed
+    prev = closing.select(
+        *pk, *[F.col(c).alias(f"_prev_{c}") for c in attrs]
+    )
+    opened = (
+        ins_upd.join(prev, pk, "left")
+        .select(
+            *pk,
+            *[
+                F.coalesce(F.col(c), F.col(f"_prev_{c}")).alias(c)
+                for c in attrs
+            ],
+            F.lit(version).cast("long").alias("valid_from"),
+            F.lit(None).cast("long").alias("valid_to"),
+        )
+    )
+    cols = [*pk, *attrs, "valid_from", "valid_to"]
+    return (
+        untouched.select(*cols)
+        .unionByName(closing.select(*cols))
+        .unionByName(opened.select(*cols))
+    )

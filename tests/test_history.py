@@ -90,3 +90,30 @@ def test_scd2_plan_single_pk_shuffle(spark):
     window_block = plan[plan.find("Window"):]
     first_sort = window_block.find("Sort")
     assert "Exchange" not in window_block[:first_sort], plan
+
+
+def test_history_apply_equals_batch_fold(spark):
+    """history_apply folded one changeset at a time == the one-shot
+    scd2_from_changesets (incremental IVM correctness)."""
+    from geodiff_spark.operators.history import history_apply
+
+    s0 = _snap(spark, [(1, "x", 10), (2, "y", 20), (3, "z", 30)])
+    s1 = _snap(spark, [(1, "x", 11), (3, "z", 30), (4, "w", 40)])
+    s2 = _snap(spark, [(1, "x2", 11), (3, "z", 33), (4, "w", 40), (2, "b", 9)])
+    cs1, cs2 = diff_table(s0, s1, INFO), diff_table(s1, s2, INFO)
+    batch = scd2_from_changesets(s0, [(1, cs1), (2, cs2)], INFO)
+
+    h = scd2_from_changesets(s0, [], INFO)
+    h = history_apply(h, cs1, 1, INFO)
+    h = history_apply(h, cs2, 2, INFO)
+    assert _rows(h) == _rows(batch)
+
+
+def test_history_apply_sparse_update_carries_prev(spark):
+    from geodiff_spark.operators.history import history_apply
+
+    s0 = _snap(spark, [(7, "keep", 1)])
+    s1 = _snap(spark, [(7, "keep", 2)])
+    h = scd2_from_changesets(s0, [], INFO)
+    h = history_apply(h, diff_table(s0, s1, INFO), 1, INFO)
+    assert _rows(h) == [(7, "keep", 1, 0, 1), (7, "keep", 2, 1, None)]
