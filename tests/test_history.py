@@ -117,3 +117,44 @@ def test_history_apply_sparse_update_carries_prev(spark):
     h = scd2_from_changesets(s0, [], INFO)
     h = history_apply(h, diff_table(s0, s1, INFO), 1, INFO)
     assert _rows(h) == [(7, "keep", 1, 0, 1), (7, "keep", 2, 1, None)]
+
+
+def test_history_stream_matches_batch(spark, tmp_path):
+    """Two changeset files streamed through history_stream produce the
+    same history as the one-shot batch fold."""
+    import shutil
+
+    from geodiff_spark.streaming.history import (
+        current_history,
+        history_stream,
+        init_history_store,
+    )
+
+    s0 = _snap(spark, [(1, "x", 10), (2, "y", 20), (3, "z", 30)])
+    s1 = _snap(spark, [(1, "x", 11), (3, "z", 30), (4, "w", 40)])
+    s2 = _snap(spark, [(1, "x2", 11), (3, "z", 33), (4, "w", 40)])
+    cs1, cs2 = diff_table(s0, s1, INFO), diff_table(s1, s2, INFO)
+    batch = scd2_from_changesets(s0, [(1, cs1), (2, cs2)], INFO)
+
+    src = tmp_path / "cs_src"
+    src.mkdir()
+    # one parquet file per changeset, dropped in order (file source
+    # batches them by modification order with maxFilesPerTrigger=1)
+    for i, cs in enumerate((cs1, cs2)):
+        stage = tmp_path / f"cs_stage{i}"
+        cs.df.coalesce(1).write.parquet(str(stage))
+        part = sorted(stage.glob("part-*.parquet"))[0]
+        shutil.copy(part, src / f"b{i}.parquet")
+
+    store = str(tmp_path / "hist_store")
+    init_history_store(scd2_from_changesets(s0, [], INFO), store)
+    stream = (
+        spark.readStream.schema(cs1.df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = history_stream(stream, INFO, store, str(tmp_path / "hist_ckpt")).start()
+    q.awaitTermination(120)
+    q.stop()
+    got = current_history(spark, store)
+    assert _rows(got) == _rows(batch)
