@@ -145,7 +145,9 @@ def scaling_workload(
     return 2 * n_pages + int(n_pages * 0.1)
 
 
-def run_scaling_worker(cores: int, n_pages: int, trials: int = 5) -> None:
+def run_scaling_worker(cores: int, n_pages: int, trials: int | None = None) -> None:
+    if trials is None:
+        trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "5"))
     import tempfile
 
     from geodiff_spark.session import get_spark
