@@ -1760,14 +1760,18 @@ def _hll_counts_sql():
         f"user_id % {M57}",
         p=_HLL_P,
     )
+    # NOTE: DuckDB's SUM(BIGINT) yields HUGEINT, which reaches pandas as
+    # float64 and breaks the driver's dtype-sensitive value hash even
+    # when numerically equal — cast every integer column back to BIGINT.
     return f"""
     WITH sk AS ({sk}), ag AS (
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_regs,
-             SUM(CAST(pow(2.0, 50 - max_rho) AS BIGINT)) AS s_present
+             CAST(SUM(CAST(pow(2.0, 50 - max_rho) AS BIGINT)) AS BIGINT)
+               AS s_present
       FROM sk GROUP BY event_type
     )
     SELECT event_type, n_regs,
-      s_present + ({_HLL_M} - n_regs) * {_POW2_50} AS s_scaled,
+      CAST(s_present + ({_HLL_M} - n_regs) * {_POW2_50} AS BIGINT) AS s_scaled,
       {_HLL_ALPHA_NUM!r} / CAST(s_present + ({_HLL_M} - n_regs) * {_POW2_50}
                                AS DOUBLE) AS est
     FROM ag

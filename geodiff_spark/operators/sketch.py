@@ -239,7 +239,7 @@ def cm_sketch_sql(
     WITH hx AS (
       SELECT {item57_sql} AS x, {weight_sql} AS w FROM ({src})
     )
-    SELECT depth, col, SUM(cnt_1) AS cnt FROM (
+    SELECT depth, col, CAST(SUM(cnt_1) AS BIGINT) AS cnt FROM (
       SELECT depth, col, w AS cnt_1 FROM ({union})
     ) GROUP BY depth, col
     """
@@ -398,9 +398,9 @@ def cm_inner_product_sql(cm_a_src: str, cm_b_src: str) -> str:
     """DuckDB twin of :func:`cm_inner_product`."""
     return f"""
     WITH a AS ({cm_a_src}), b AS ({cm_b_src}), d AS (
-      SELECT a.depth AS depth, SUM(a.cnt * b.cnt) AS ip
+      SELECT a.depth AS depth, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS ip
       FROM a JOIN b ON a.depth = b.depth AND a.col = b.col
       GROUP BY a.depth
     )
-    SELECT MIN(ip) AS est FROM d
+    SELECT CAST(MIN(ip) AS BIGINT) AS est FROM d
     """

@@ -53,6 +53,20 @@ def test_query_matches_oracle(spark, con, name):
     g_rows, g_cols = _rows(got)
     e_rows, e_cols = _rows(exp)
     assert g_cols == e_cols, f"{name}: column mismatch {g_cols} vs {e_cols}"
+    # The driver's value hash is dtype-sensitive: an int64 column on the
+    # Spark side vs a float64 on the DuckDB side (e.g. HUGEINT SUM
+    # reaching pandas as float) hashes differently even when numerically
+    # equal. Guard dtype *kind* parity (datetime unit ns-vs-us is
+    # tolerated by the driver, and 'O' object columns compare by value).
+    def _kind(k):
+        return "i" if k in "iu" else k
+
+    for c in g_cols:
+        gk, ek = _kind(got[c].dtype.kind), _kind(exp[c].dtype.kind)
+        assert gk == ek, (
+            f"{name}: column {c!r} dtype-kind mismatch "
+            f"{got[c].dtype} vs {exp[c].dtype} — driver hash would differ"
+        )
     assert len(g_rows) == len(e_rows), (
         f"{name}: row count {len(g_rows)} vs {len(e_rows)}"
     )

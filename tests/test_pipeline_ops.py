@@ -157,3 +157,37 @@ def test_ann_ivf_recall(spark, vectors):
         # (1-ulp apart); DuckDB-exactness of the reciprocal form is the
         # entry oracle's job
         assert abs(ex[k_] - ap[k_]) < 1e-12
+
+
+def test_ivf_centroid_step_bounded():
+    """List count is min(isqrt(n), IVF_MAX_LISTS) — the centroid
+    broadcast must NOT scale with the corpus (round-2 verdict fix)."""
+    from geodiff_spark.operators.similarity import (
+        IVF_MAX_LISTS,
+        ivf_centroid_step,
+    )
+
+    for n in (1, 10, 1000, 10**6, 10**9, 10**12):
+        step = ivf_centroid_step(n)
+        lists = -(-n // step)
+        assert lists <= min(max(int(n**0.5) + 1, 1), IVF_MAX_LISTS)
+        assert lists >= 1
+    # beyond cap^2 rows the list count pins at the cap
+    assert -(-(10**12) // ivf_centroid_step(10**12)) <= IVF_MAX_LISTS
+    assert -(-(10**9) // ivf_centroid_step(10**9)) <= IVF_MAX_LISTS
+    # explicit n_lists respected but still capped
+    step = ivf_centroid_step(10**12, n_lists=10**7)
+    assert -(-(10**12) // step) <= IVF_MAX_LISTS
+
+
+def test_ann_ivf_default_sizing(spark, vectors):
+    """Default (no centroid_step) derives a bounded stride from the
+    corpus count and still returns k results per query."""
+    from geodiff_spark.operators.similarity import ann_ivf
+
+    df, _ = vectors
+    queries = df.filter("vec_id < 2").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = ann_ivf(df, queries, k=3, nprobe=3).collect()
+    assert len(out) == 6
