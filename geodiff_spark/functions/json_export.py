@@ -16,7 +16,9 @@ an ordered map over sorted keys), 2-space indent (geodiff.cpp:681-685).
 
 Two paths:
   * ``*_json`` — exact-parity artifact: collects to the driver and
-    formats with Python (export files are human-facing and small);
+    formats with Python (export files are human-facing); guarded by a
+    row ceiling (``MAX_JSON_EXPORT_ROWS``) so an at-scale changeset
+    fails fast instead of OOMing the driver;
   * ``changeset_json_df`` — the scale path: per-entry JSON built
     distributedly with to_json, one string row per entry.
 """
@@ -75,13 +77,36 @@ def _entry_sort_key(row, info):
     return (row["op"], str(v))
 
 
-def changeset_json(changeset: dict[str, ChangesetTable]) -> str:
+#: Row ceiling for the driver-side pretty-JSON exporters. The document
+#: itself is a single in-memory string, so collecting more than this is
+#: a driver OOM, not a formatting choice — callers past the cap must use
+#: the distributed ``changeset_json_df`` path.
+MAX_JSON_EXPORT_ROWS = 1_000_000
+
+
+def _guard_export_size(df: DataFrame, what: str, max_rows: int) -> None:
+    """Refuse unbounded driver-side collect: probe with limit(n+1) so a
+    10 TB changeset fails fast instead of OOMing the driver."""
+    if df.limit(max_rows + 1).count() > max_rows:
+        raise ValueError(
+            f"{what} export exceeds {max_rows} rows — the pretty-JSON "
+            "exporter is a driver-side artifact; use changeset_json_df "
+            "(distributed per-entry JSON) for changesets at scale, or "
+            "raise max_rows explicitly"
+        )
+
+
+def changeset_json(
+    changeset: dict[str, ChangesetTable],
+    max_rows: int = MAX_JSON_EXPORT_ROWS,
+) -> str:
     """GEODIFF_listChanges equivalent. Entries grouped per table (name
     order, like the writer's per-table grouping), deterministic entry
     order within a table (op, pk)."""
     entries = []
     for name in sorted(changeset):
         t = changeset[name]
+        _guard_export_size(t.df, f"changeset table {name!r}", max_rows)
         rows = sorted(t.df.collect(), key=lambda r: _entry_sort_key(r, t.info))
         for r in rows:
             entries.append(
@@ -101,13 +126,18 @@ def summary_json(changeset: dict[str, ChangesetTable]) -> str:
     return _dump({"geodiff_summary": out})
 
 
-def conflicts_json(conflicts: dict[str, DataFrame], infos: dict) -> str:
+def conflicts_json(
+    conflicts: dict[str, DataFrame],
+    infos: dict,
+    max_rows: int = MAX_JSON_EXPORT_ROWS,
+) -> str:
     """Conflict export (conflictToJSON, changesetutils.cpp:240-302):
     per conflicting row: fid as *string*, items with base/old(theirs)/
     new(ours), undefined sides omitted."""
     entries = []
     for name in sorted(conflicts):
         info = infos[name]
+        _guard_export_size(conflicts[name], f"conflicts table {name!r}", max_rows)
         for r in sorted(conflicts[name].collect(), key=lambda r: r["fid"]):
             changes = []
             for i, c in enumerate(info.columns):

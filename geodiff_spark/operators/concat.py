@@ -63,8 +63,20 @@ def _differs(v_def1: Column, v1: Column, v_def2: Column, v2: Column) -> Column:
     return (v_def1 != v_def2) | (v_def1 & v_def2 & ~v1.eqNullSafe(v2))
 
 
-def merge_pair(cs1: ChangesetTable, cs2: ChangesetTable) -> ChangesetTable:
-    """Merge two successive changesets of the same table (e1 earlier)."""
+def merge_pair(
+    cs1: ChangesetTable,
+    cs2: ChangesetTable,
+    observation=None,
+) -> ChangesetTable:
+    """Merge two successive changesets of the same table (e1 earlier).
+
+    ``observation``: optional ``pyspark.sql.Observation``; when given,
+    the count of UNSUPPORTED op sequences the merge discards (I+I, U+I,
+    D+U, D+D — the reference warns and drops these,
+    changesetconcat.cpp:135-139 and the driver warning at :252-258) is
+    published as metric ``unsupported_pairs`` on the same action that
+    materializes the merge — no extra job. ``unsupported_pairs`` returns
+    the offending rows themselves as a side-output."""
     info = cs1.info
     cols = list(info.columns)
 
@@ -85,7 +97,18 @@ def merge_pair(cs1: ChangesetTable, cs2: ChangesetTable) -> ChangesetTable:
     is_uu = both & (op1 == OP_UPDATE) & (op2 == OP_UPDATE)
     is_ud = both & (op1 == OP_UPDATE) & (op2 == OP_DELETE)
     is_di = both & (op1 == OP_DELETE) & (op2 == OP_INSERT)
-    # all remaining combos (I+I, U+I, D+U, D+D, I+D) drop the row
+    # I+D is a legal cancellation; the remaining both-sided combos
+    # (I+I, U+I, D+U, D+D) are corrupt sequences the reference warns
+    # about and drops — surfaced via `observation` / unsupported_pairs.
+    is_cancel = both & (op1 == OP_INSERT) & (op2 == OP_DELETE)
+    is_unsupported = both & ~(is_iu | is_uu | is_ud | is_di | is_cancel)
+    if observation is not None:
+        j = j.observe(
+            observation,
+            F.sum(F.when(is_unsupported, 1).otherwise(0)).alias(
+                "unsupported_pairs"
+            ),
+        )
 
     # --- mergeUpdate value pipeline, used by U+U and D+I ---------------
     # per column: vOld/vNew with definedness, plus per-column "differs".
@@ -182,10 +205,48 @@ def merge_pair(cs1: ChangesetTable, cs2: ChangesetTable) -> ChangesetTable:
     return ChangesetTable(info=info, df=out)
 
 
-def concat_tables(tables: list[ChangesetTable]) -> ChangesetTable:
-    """Fold N changeset tables in order (earliest first)."""
+def unsupported_pairs(cs1: ChangesetTable, cs2: ChangesetTable) -> DataFrame:
+    """Side-output twin of :func:`merge_pair`: the entry pairs whose op
+    sequence the concat semantics DISCARD (I+I, U+I, D+U, D+D — corrupt
+    input; changesetconcat.cpp:135-139 warns per occurrence). Returns
+    (pk..., op1, op2) so callers can log/quarantine them. Same key
+    shuffle as the merge itself — inner join, nothing new at scale."""
+    info = cs1.info
+    left = _with_keys(cs1, "e1")
+    right = _with_keys(cs2, "e2")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"_ke1_{c}").eqNullSafe(F.col(f"_ke2_{c}")) for c in info.pk],
+    )
+    op1, op2 = F.col("e1_op"), F.col("e2_op")
+    ok = (
+        ((op1 == OP_INSERT) & ((op2 == OP_UPDATE) | (op2 == OP_DELETE)))
+        | ((op1 == OP_UPDATE) & ((op2 == OP_UPDATE) | (op2 == OP_DELETE)))
+        | ((op1 == OP_DELETE) & (op2 == OP_INSERT))
+    )
+    return (
+        left.join(right, cond, "inner")
+        .filter(~ok)
+        .select(
+            *[F.col(f"_ke1_{c}").alias(c) for c in info.pk],
+            op1.alias("op1"),
+            op2.alias("op2"),
+        )
+    )
+
+
+def concat_tables(
+    tables: list[ChangesetTable], observation=None
+) -> ChangesetTable:
+    """Fold N changeset tables in order (earliest first). When
+    ``observation`` is given it is attached to the FIRST merge only
+    (a Spark Observation is single-use); per-pair auditing at scale
+    should use :func:`unsupported_pairs` on the suspect step."""
     if not tables:
         raise ValueError("concat of zero changesets")
+    if len(tables) > 1 and observation is not None:
+        head = merge_pair(tables[0], tables[1], observation=observation)
+        return reduce(merge_pair, tables[2:], head)
     return reduce(merge_pair, tables)
 
 

@@ -15,11 +15,12 @@ defined null becomes 0x05. Value typing follows the column's Spark type
 (long->int, double->real, string/timestamp->text, binary->blob) per the
 reference's base-type table (tableschema.cpp:38-91).
 
-Distribution: ``write_changeset_file`` is a driver-side sink for the
-wire-parity artifact (the format is a single sequential stream — the
-reference itself is single-pass). The scale path stays the changeset
-DataFrame in parquet; ``encode_partition`` is exposed for
-foreachPartition sinks that shard one file per partition.
+Distribution: ``write_changeset_file`` produces the single-file
+wire-parity artifact with executor-side encoding and a partition-
+streamed driver write (bounded memory); ``write_changeset_dir`` is the
+fully executor-side sharded sink whose manifest-order concatenation is
+itself a legal changeset stream. The scale path stays the changeset
+DataFrame in parquet.
 """
 
 from __future__ import annotations
@@ -149,24 +150,41 @@ def encode_rows(rows: Iterable, info: TableInfo, dtypes: list) -> bytes:
 def write_changeset_file(changeset: dict[str, ChangesetTable], path: str) -> None:
     """Wire-parity sink: per-table groups in name order, lazy headers
     (tables with zero entries emit nothing — sqlitedriver.cpp:481-486),
-    deterministic entry order (op, pk repr)."""
+    deterministic entry order (op asc, pk-as-string asc).
+
+    Encoding is DISTRIBUTED: after a global range sort, every partition
+    encodes its own byte blob executor-side; the driver streams the
+    blobs partition-by-partition (``toLocalIterator``) straight into the
+    file, so driver memory is bounded by ONE partition's bytes — never
+    an unbounded ``collect()`` of a 10 TB changeset. (Writing to a
+    single local file is inherently driver-bandwidth-bound, but that is
+    the contract of this artifact; the executor-side sharded sink is
+    :func:`write_changeset_dir`.)"""
+    from pyspark.sql import functions as F
+
     with open(path, "wb") as f:
         for name in sorted(changeset):
             t = changeset[name]
-            rows = t.df.collect()
-            if not rows:
-                continue
             info = t.info
             pk = info.pk[0]
-
-            def key(r):
-                v = r[f"new_{pk}"] if r["op"] == OP_INSERT else r[f"old_{pk}"]
-                return (r["op"], str(v))
-
-            rows = sorted(rows, key=key)
             dtypes = [t.df.schema[f"old_{c}"].dataType for c in info.columns]
-            f.write(encode_table_header(info))
-            f.write(encode_rows(rows, info, dtypes))
+            sort_pk = (
+                F.when(F.col("op") == OP_INSERT, F.col(f"new_{pk}"))
+                .otherwise(F.col(f"old_{pk}"))
+                .cast("string")
+            )
+            sdf = t.df.orderBy(F.col("op").asc(), sort_pk.asc())
+
+            def enc_part(rows, info=info, dtypes=dtypes):
+                blob = encode_rows(rows, info, dtypes)
+                return iter([blob]) if blob else iter(())
+
+            wrote_header = False
+            for blob in sdf.rdd.mapPartitions(enc_part).toLocalIterator():
+                if not wrote_header:
+                    f.write(encode_table_header(info))
+                    wrote_header = True
+                f.write(blob)
 
 
 def read_changeset_file(

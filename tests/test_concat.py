@@ -115,3 +115,42 @@ def test_concat_three_chains(spark, abc):
     )
     patched = apply_or_raise(a, folded)
     assert not has_changes({"t": diff_table(patched, d, T)})
+
+
+def test_concat_unsupported_observed(spark):
+    """Corrupt op sequences (here I+I) are dropped AND observable: the
+    Observation metric rides the merge's own action, and the
+    unsupported_pairs side-output names the offending keys — parity
+    with the reference's per-occurrence warning
+    (changesetconcat.cpp:135-139, driver warning :252-258)."""
+    from pyspark.sql import Observation
+
+    from geodiff_spark.operators.concat import merge_pair, unsupported_pairs
+
+    a = snap(spark, [])
+    b = snap(spark, [(1, "x", 1), (2, "y", 2)])
+    cs_ins = diff_table(a, b, T)  # two INSERTs
+    obs = Observation("concat_audit")
+    merged = merge_pair(cs_ins, cs_ins, observation=obs)  # I+I twice
+    assert merged.df.count() == 0  # both rows dropped
+    assert obs.get["unsupported_pairs"] == 2
+
+    side = unsupported_pairs(cs_ins, cs_ins)
+    rows = sorted((r["fid"], r["op1"], r["op2"]) for r in side.collect())
+    assert rows == [(1, "insert", "insert"), (2, "insert", "insert")]
+
+
+def test_concat_supported_sequences_not_flagged(spark, abc):
+    """A legal I→D cancellation and normal U+U merges observe zero
+    unsupported pairs."""
+    from pyspark.sql import Observation
+
+    from geodiff_spark.operators.concat import unsupported_pairs
+
+    a, b, c = abc
+    cs_ab, cs_bc = diff_table(a, b, T), diff_table(b, c, T)
+    obs = Observation()
+    folded = concat_tables([cs_ab, cs_bc], observation=obs)
+    folded.df.count()
+    assert obs.get["unsupported_pairs"] == 0
+    assert unsupported_pairs(cs_ab, cs_bc).count() == 0

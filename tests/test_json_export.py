@@ -90,3 +90,16 @@ def test_distributed_json_df(spark):
     e = json.loads(rows[0]["entry_json"])
     assert e["table"] == "simple" and e["type"] == "update"
     assert {"column": 1, "old": "a", "new": "a2"} in e["changes"]
+
+
+def test_json_export_size_guard(spark):
+    """Driver-side pretty-JSON exporters refuse unbounded collects."""
+    import pytest
+
+    from geodiff_spark.functions.json_export import changeset_json
+
+    a = snap(spark, [(1, "a", 10)])
+    b = snap(spark, [(1, "a2", 10)])
+    cs = {"simple": diff_table(a, b, T)}
+    with pytest.raises(ValueError, match="changeset_json_df"):
+        changeset_json(cs, max_rows=0)
