@@ -721,6 +721,44 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_streaming_hourly(spark, sf_dir):
+    """GRADED STREAMING query: replay the events table through the
+    Structured Streaming hourly rollup (file source -> watermark ->
+    windowed agg -> memory sink, availableNow semantics) and return the
+    final complete-mode result. The oracle is the BATCH hourly SQL —
+    stream == batch is the correctness contract (same shape the
+    foreachBatch CDC store uses)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from geodiff_spark.streaming.cdc import events_hourly_stream
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = tempfile.mkdtemp(prefix="stream_hourly_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/part-0.parquet")
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    q = (
+        events_hourly_stream(spark.readStream.schema(ev.schema).parquet(src))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # window.start is TIMESTAMP (session-UTC); the batch oracle's
+    # date_trunc over the NTZ source is TIMESTAMP_NTZ — align the type.
+    return spark.table(name).select(
+        F.col("hour").cast("timestamp_ntz").alias("hour"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
 def q_lineitem_pricing(spark, sf_dir):
     """TPC-H Q1-flavored aggregate — exercises scan pushdown + partial agg."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -2128,6 +2166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_dups": q_cosine_dups,
         "cosine_dups_lsh": q_cosine_dups_lsh,
         "events_hourly": q_events_hourly,
+        "streaming_hourly": q_streaming_hourly,
         "lineitem_pricing": q_lineitem_pricing,
         "dump": q_dump_orders,
         "kring": q_kring,
@@ -2191,6 +2230,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _ann_ivf_sql(),
         "cosine_dups": _cosine_dups_sql(),
         "events_hourly": _EVENTS_SQL,
+        "streaming_hourly": _EVENTS_SQL,
         "lineitem_pricing": _LINEITEM_SQL,
         "dump": _DUMP_SQL,
         "kring": _kring_sql(),
