@@ -6,16 +6,22 @@ capability-gated: ``iceberg_available(spark)`` probes the classpath, and
 absent (the parquet-bucketed ``SnapshotStore`` is the local fallback
 with the same join behavior).
 
-Jar acquisition attempt (round 2, documented per review): the sandbox
-has no network (DNS resolution fails for repo1.maven.org), pyspark's
-bundled 287 jars include no iceberg/delta/hudi artifacts, and no
-iceberg jar exists anywhere on the filesystem — so the real path cannot
-execute here. What IS verified offline: the guarded MERGE INTO text
-parses through Spark's own SQL parser (tests/test_snapshots.py), the
-value-guard/conflict semantics are the same code paths exercised by
-apply_table's oracle-checked tests, and the zero-Exchange
-storage-partitioned diff plan is asserted on the bucketed-parquet twin
-(the physical join layout Iceberg's bucket transform produces).
+Jar acquisition attempt (re-run and re-dated round 3; first recorded
+round 2): the sandbox has no network (DNS resolution fails for
+repo1.maven.org; ``pip download pyiceberg`` fails the same way),
+pyspark's bundled jars include no iceberg/delta/hudi artifacts, a full
+filesystem scan finds no iceberg jar anywhere, and the runtime jars
+ship no writable DataSourceV2 catalog either (InMemoryTableCatalog
+lives in catalyst's *test* artifacts only), so the MERGE cannot be
+executed against any stand-in v2 catalog. DuckDB 1.0 (bundled) predates
+MERGE INTO support, ruling out a cross-engine executed twin. What IS
+verified offline: the guarded MERGE INTO text and the bucket-transform
+CREATE TABLE DDL parse through Spark's own SQL parser
+(tests/test_snapshots.py), the value-guard/conflict semantics are the
+same code paths exercised by apply_table's oracle-checked tests, and
+the zero-Exchange storage-partitioned diff plan is asserted on the
+bucketed-parquet twin (the physical join layout Iceberg's bucket
+transform produces).
 
 Production deployment (what the DDL below buys at 10^12 rows):
   * `PARTITIONED BY (bucket(N, url))` → createChangeset's full-outer

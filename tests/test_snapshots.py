@@ -127,3 +127,18 @@ def test_versioned_store_time_travel_and_branches(spark):
     # main untouched
     assert sorted(map(tuple, st.read("vt", branch="main").collect())) == [
         (1, "a2"), (3, "c"), (4, "d")]
+
+
+def test_iceberg_ddl_parses(spark):
+    """The bucket-transform CREATE TABLE DDL the store issues is valid
+    Spark SQL (transform partitioning is core DSv2 syntax; only
+    execution needs the Iceberg catalog). Re-dated round 3: jars remain
+    unobtainable offline — see sources/iceberg.py docstring for the
+    recorded attempt."""
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    ddl = """CREATE TABLE IF NOT EXISTS local.pages (
+        url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING)
+        USING iceberg PARTITIONED BY (bucket(64, url))"""
+    plan = parser.parsePlan(ddl)
+    assert "CreateTable" in plan.getClass().getSimpleName()
+    assert "bucket" in plan.toString()
