@@ -568,6 +568,75 @@ def _minhash_lsh_oracle():
     )
 
 
+def q_domain_minhash(spark, sf_dir):
+    """Corpus-level mirror detection: per-DOMAIN minhash signature =
+    element-wise MIN over the domain's doc signatures (the minhash of
+    the union of shingle sets), banded pair join over the |domains|-row
+    signature table. Hard-verified: the oracle recomputes doc shingle
+    hashes, folds the per-(domain, perm) MIN, and replays the band
+    join."""
+    from geodiff_spark.operators.dedup import group_minhash_sim
+
+    d = _docs_with_url(spark, sf_dir).select(
+        "doc_id",
+        WX.domain_expr(WX.canonical_url_expr(F.col("url"))).alias("domain"),
+        "text",
+    )
+    # partial mirrors (m-<domain> carries half the domain's docs) make
+    # the pair structure non-trivial: mirror ∪-shingle sets are strict
+    # subsets, so est_jaccard lands in (0, 1) and the banded join must
+    # actually separate mirrors from unrelated domains.
+    inp = d.select("domain", "text").unionByName(
+        d.filter(F.col("doc_id") % 2 != 0).select(
+            F.concat(F.lit("m-"), F.col("domain")).alias("domain"), "text"
+        )
+    )
+    return group_minhash_sim(
+        inp, "domain", "text", num_perm=32, bands=8, threshold=0.3
+    )
+
+
+def _domain_minhash_oracle():
+    from geodiff_spark.functions.hash_sql import group_minhash_oracle_sql
+
+    canon = WX.canonical_url_sql(_URL_SQL)
+    base = (
+        f"SELECT doc_id, {WX.domain_sql(canon)} AS domain, text "
+        "FROM documents"
+    )
+    docs = (
+        f"SELECT doc_id, domain, text FROM ({base}) "
+        f"UNION ALL SELECT doc_id + 1000000 AS doc_id, "
+        f"'m-' || domain AS domain, text FROM ({base}) WHERE doc_id % 2 <> 0"
+    )
+    return group_minhash_oracle_sql(
+        docs, "doc_id", "domain", "text",
+        num_perm=32, bands=8, shingle_n=3, threshold=0.3,
+    )
+
+
+def q_bigram_logprob(spark, sf_dir):
+    """Bigram-LM fluency scoring (KenLM/CCNet-style quality filter):
+    integer-scaled avg conditional probability summed as BIGINT —
+    bit-exact cross-engine; the ln()/perplexity transform stays
+    driver-side like the HLL estimate."""
+    from geodiff_spark.operators.lm import bigram_lm_scores
+
+    return bigram_lm_scores(
+        _spread_docs(spark, sf_dir).select("doc_id", "text"),
+        "doc_id",
+        "text",
+    )
+
+
+def _bigram_logprob_oracle():
+    from geodiff_spark.operators.lm import bigram_lm_scores_sql
+
+    return bigram_lm_scores_sql(
+        "SELECT doc_id, text FROM documents", "doc_id", "text"
+    )
+
+
 def q_simhash(spark, sf_dir):
     """Hard-verified: chunks=4 pigeonhole candidates are COMPLETE for
     hamming<=3, so the output equals all-pairs hamming<=2 over simhashes
@@ -2160,6 +2229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "domain_minhash": q_domain_minhash,
+        "bigram_logprob": q_bigram_logprob,
         "simhash": q_simhash,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf": q_ann_ivf,
@@ -2274,6 +2345,8 @@ def oracle_sql() -> dict[str, str]:
         # recompute FNV-1a/splitmix64 signatures, simhashes, and
         # hyperplane buckets from scratch in DuckDB (functions/hash_sql.py)
         "minhash_lsh": _minhash_lsh_oracle(),
+        "domain_minhash": _domain_minhash_oracle(),
+        "bigram_logprob": _bigram_logprob_oracle(),
         "simhash": _simhash_oracle(),
         "cosine_dups_lsh": _cosine_dups_lsh_oracle(),
     }

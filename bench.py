@@ -332,15 +332,43 @@ def run_suite() -> None:
     # while an identical query goes 12s -> 263s), so three back-to-back
     # trials can all land inside one burst — spacing the third trial a
     # full suite pass away gives each query a shot at a quiet window.
+    # Every trial carries a ~100 ms spin probe; a probe-gated salvage
+    # pass then re-runs any query whose BEST trial ran in a window where
+    # the spin was >20% above the session floor (per the round-2 review:
+    # storm-polluted records must not stand as the number of record).
+    def spin_ms() -> float:
+        t0 = time.perf_counter()
+        x = 1.0
+        for _ in range(2_000_000):
+            x = x * 1.0000001 + 1e-9
+        return (time.perf_counter() - t0) * 1000.0
+
     times: dict[str, float] = {}
+    best_spin: dict[str, float] = {}
+    all_spins: list[float] = []
+
+    def run_trial(name: str) -> None:
+        s = spin_ms()
+        all_spins.append(s)
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        if dt < times.get(name, float("inf")):
+            times[name] = dt
+            best_spin[name] = s
+
     for trials in (2, 1):
         for name in headline:
-            best = times.get(name, float("inf"))
             for _ in range(trials):
-                t0 = time.perf_counter()
-                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            times[name] = best
+                run_trial(name)
+    floor = min(all_spins)
+    suspect = [n for n in headline if best_spin[n] > 1.2 * floor]
+    for salvage_pass in range(2):
+        if not suspect:
+            break
+        for name in suspect:
+            run_trial(name)
+        suspect = [n for n in suspect if best_spin[n] > 1.2 * floor]
     times = {k: round(v, 3) for k, v in times.items()}
 
     # pages diff throughput (the BASELINE.json headline metric);
@@ -362,7 +390,9 @@ def run_suite() -> None:
 
     result = {
         "metric": "spatial-join + changeset-diff suite wall time",
-        "env": {"pre": env_pre, "post": _env_probe()},
+        "env": {"pre": env_pre, "post": _env_probe(),
+                "spin_floor_ms": round(floor, 1),
+                "storm_suspect_queries": suspect},
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,

@@ -176,6 +176,68 @@ def minhash_lsh_oracle_sql(
     """
 
 
+def group_minhash_oracle_sql(
+    docs_sql: str,
+    id_col: str,
+    group_col: str,
+    text_col: str,
+    *,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> str:
+    """Oracle for dedup.group_minhash_sim: per-doc shingle hashes are
+    recomputed exactly as in minhash_lsh_oracle_sql, the signature MIN
+    is taken per (group, permutation) — the minhash of the union of the
+    group's shingle sets — and the banded pair join is replayed over
+    the group signatures. Groups whose docs are all token-less fall back
+    to the all-I64_MAX signature (same as the engine's empty-doc
+    fallback folded through MIN)."""
+    rpb = num_perm // bands
+    sh = _shingle_hash_rows(docs_sql, id_col, text_col, shingle_n)
+    seeds_src = (
+        f"SELECT p, CAST(p * {0x9E37} AS HUGEINT) AS x "
+        f"FROM generate_series(1, {num_perm}) AS g(p)"
+    )
+    seeds = _sm_stages(seeds_src, "x", "seed", ["p"])
+    xs = (
+        f"SELECT s.doc_id AS doc_id, sd.p AS p, xor(s.smv, sd.seed) AS x "
+        f"FROM ({sh}) s CROSS JOIN ({seeds}) sd"
+    )
+    sm2 = _sm_stages(xs, "x", "smv", ["doc_id", "p"])
+    grp_map = f"SELECT {id_col} AS doc_id, {group_col} AS grp FROM ({docs_sql})"
+    return f"""
+    WITH mh AS (
+      SELECT g.grp AS grp, m.p AS p, MIN(CAST(m.smv >> 1 AS BIGINT)) AS mn
+      FROM ({sm2}) m JOIN ({grp_map}) g ON m.doc_id = g.doc_id
+      GROUP BY g.grp, m.p
+    ), sig AS (
+      SELECT d.grp AS grp,
+             COALESCE(s.sig, [{", ".join([str(I64_MAX)] * num_perm)}]) AS sig
+      FROM (SELECT DISTINCT grp FROM ({grp_map})) d
+      LEFT JOIN (SELECT grp, list(mn ORDER BY p) AS sig
+                 FROM mh GROUP BY grp) s ON s.grp = d.grp
+    ), banded AS (
+      SELECT grp, sig, band,
+             list_slice(sig, band*{rpb}+1, band*{rpb}+{rpb}) AS sl
+      FROM (SELECT grp, sig,
+                   unnest(generate_series(0, {bands - 1})) AS band FROM sig)
+    ), cand AS (
+      SELECT DISTINCT a.grp AS id_a, b.grp AS id_b, a.sig AS sa, b.sig AS sb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.sl = b.sl AND a.grp < b.grp
+    )
+    SELECT id_a, id_b, est_jaccard FROM (
+      SELECT id_a, id_b,
+             CAST(len(list_filter(generate_series(1, {num_perm}),
+                                  i -> sa[i] = sb[i])) AS DOUBLE)
+             / CAST({float(num_perm)} AS DOUBLE) AS est_jaccard
+      FROM cand
+    ) WHERE est_jaccard >= CAST({threshold} AS DOUBLE)
+    """
+
+
 def simhash_oracle_sql(
     docs_sql: str,
     id_col: str,

@@ -345,12 +345,33 @@ def minhash_lsh_pairs(
     num_perm (unbiased minhash estimator)."""
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
-    rows_per_band = num_perm // bands
     df = _spread_input(df, id_col)
     sig = df.select(
         F.col(id_col),
         minhash_signature_udf(num_perm, shingle_n)(F.col(text_col)).alias("sig"),
     )
+    return minhash_sig_pairs(
+        sig, id_col, num_perm=num_perm, bands=bands,
+        threshold=threshold, verify=verify,
+    )
+
+
+def minhash_sig_pairs(
+    sig: DataFrame,
+    id_col: str,
+    *,
+    num_perm: int,
+    bands: int,
+    threshold: float = 0.5,
+    verify: bool = True,
+) -> DataFrame:
+    """Banded-bucket pair join over precomputed minhash signatures
+    (column ``sig``: array<long> of length num_perm) — the shared tail
+    of doc-level and group-level LSH. Same shuffle shape as
+    minhash_lsh_pairs (bucket keys, never all-pairs)."""
+    if num_perm % bands:
+        raise ValueError("bands must divide num_perm")
+    rows_per_band = num_perm // bands
     banded = sig.select(
         id_col,
         "sig",
@@ -565,4 +586,50 @@ def dedup_index_build(docs: DataFrame, *, id_col: str = "doc_id",
 
     return docs.select(
         fingerprint_expr(F.col(text_col)).alias("fp"), F.col(id_col)
+    )
+
+
+# --------------------------------------------------------------------------
+# group-level (domain) MinHash similarity
+# --------------------------------------------------------------------------
+
+def group_minhash_sim(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    *,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Corpus-level near-duplication between GROUPS (typically domains):
+    mirror sites, boilerplate farms, scraped clones.
+
+    The group signature is the element-wise MIN over its documents'
+    minhash signatures, which IS the minhash of the union of their
+    shingle sets — so signature agreement between two groups estimates
+    the Jaccard similarity of their combined shingle vocabularies.
+
+    Scale shape (10^12 docs): one narrow Arrow-batched pass computes
+    per-doc signatures; ONE groupBy(group) with num_perm map-side-
+    combining MIN aggregates collapses the corpus to |groups| signature
+    rows (text never shuffles); the pair join is the same banded-bucket
+    join as doc-level LSH (minhash_sig_pairs) over the small signature
+    table — never all-pairs at any level.
+    """
+    sig = df.select(
+        F.col(group_col),
+        minhash_signature_udf(num_perm, shingle_n)(F.col(text_col)).alias(
+            "sig"
+        ),
+    )
+    gsig = sig.groupBy(group_col).agg(
+        F.array(
+            *[F.min(F.col("sig")[i]) for i in range(num_perm)]
+        ).alias("sig")
+    )
+    return minhash_sig_pairs(
+        gsig, group_col, num_perm=num_perm, bands=bands,
+        threshold=threshold, verify=True,
     )

@@ -1,0 +1,112 @@
+"""Corpus bigram language-model fluency scoring.
+
+A classic LLM-pipeline quality signal (KenLM-style filtering, e.g.
+CCNet): score each document by how predictable its token bigrams are
+under a model counted from the corpus itself. To stay bit-exact across
+engines (the repo's oracle discipline), the per-bigram conditional
+probability P(w2|w1) = c(w1,w2)/c(w1) is kept as the integer
+``(c12 * scale) div c1`` and summed as BIGINT — integer addition
+commutes exactly, so the score is partitioning- and order-invariant,
+unlike a float log-prob sum. The ln()/perplexity transform is a
+driver-side presentation step (same split as the HLL estimate).
+
+Scale shape (10^12 docs):
+  * bigram extraction is a narrow per-row array op (zip of two token
+    slices) — no shuffle, whole-stage codegen;
+  * c(w1,w2) is ONE map-side-combining groupBy of the exploded bigrams;
+    c(w1) folds from the c12 table (|vocab^2| rows, not the corpus);
+  * the probe join keys on (w1, w2) — hot bigrams ("of the") are a
+    classic skew key, left to AQE skew-join (enabled by session.py);
+    the per-doc sum is a second map-side-combining groupBy on doc id.
+  * ``scale`` defaults to 10^6: c12 <= 10^12 bigrams keeps
+    c12 * scale < 2^63 with an order of magnitude to spare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_expr, tokens_sql
+
+DEFAULT_SCALE = 1_000_000
+
+
+def bigram_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per token-bigram occurrence: (id, w1, w2). Narrow."""
+    toks = tokens_expr(F.col(text_col))
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, F.lit(1), n - 1),
+            F.slice(toks, F.lit(2), n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array())
+    return df.select(
+        F.col(id_col), F.explode(pairs).alias("_bg")
+    ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """-> (id, n_bigrams, score_scaled): score_scaled = sum over the
+    doc's bigram occurrences of (c(w1,w2) * scale) div c(w1), counted
+    over the WHOLE input corpus. Higher = more predictable text;
+    score_scaled / (n_bigrams * scale) is the avg conditional
+    probability (driver-side presentation). Docs with < 2 tokens emit
+    no row (they have no bigrams to score)."""
+    bg = bigram_rows(df, id_col, text_col)
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    model = c12.join(c1, "w1").select(
+        "w1", "w2", F.expr(f"CAST((c12 * {scale}) DIV c1 AS BIGINT)").alias("_p")
+    )
+    return (
+        bg.join(model, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("_p").alias("score_scaled"),
+        )
+    )
+
+
+def bigram_lm_scores_sql(
+    docs_sql: str,
+    id_col: str,
+    text_col: str,
+    *,
+    scale: int = DEFAULT_SCALE,
+) -> str:
+    """DuckDB twin of :func:`bigram_lm_scores` (bit-exact: same integer
+    floor-div and BIGINT sums; `//` and Spark's DIV agree on
+    positives)."""
+    t = tokens_sql(text_col)
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS doc_id, {t} AS t FROM ({docs_sql})
+    ), bg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 2)
+    ), c12 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1
+    ), model AS (
+      SELECT c12.w1, c12.w2, CAST((c12.c12 * {scale}) // c1.c1 AS BIGINT) AS p
+      FROM c12 JOIN c1 ON c12.w1 = c1.w1
+    )
+    SELECT bg.doc_id AS {id_col},
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(m.p) AS BIGINT) AS score_scaled
+    FROM bg JOIN model m ON bg.w1 = m.w1 AND bg.w2 = m.w2
+    GROUP BY bg.doc_id
+    """

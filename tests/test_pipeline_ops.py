@@ -191,3 +191,44 @@ def test_ann_ivf_default_sizing(spark, vectors):
     )
     out = ann_ivf(df, queries, k=3, nprobe=3).collect()
     assert len(out) == 6
+
+
+def test_bigram_lm_scores(spark):
+    """Bigram LM: score is the corpus-counted conditional-probability
+    sum, integer-exact; docs with <2 tokens emit no row."""
+    from geodiff_spark.operators.lm import DEFAULT_SCALE, bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_scores(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2}  # 3 and 4 have no bigrams
+    # corpus counts: c(a,b)=3, c(b,a)=1; c1(a)=3, c1(b)=1
+    # p(a->b) = 3*S div 3 = S ; p(b->a) = 1*S div 1 = S
+    S = DEFAULT_SCALE
+    assert out[1]["n_bigrams"] == 3 and out[1]["score_scaled"] == 3 * S
+    assert out[2]["n_bigrams"] == 1 and out[2]["score_scaled"] == S
+
+
+def test_group_minhash_union_semantics(spark):
+    """The group signature equals the minhash of the union of the
+    group's shingle sets: a group split across many docs matches a
+    single-doc group holding the concatenated... same shingles."""
+    from geodiff_spark.operators.dedup import group_minhash_sim
+
+    rows = [
+        ("g1", "alpha beta gamma delta epsilon zeta"),
+        ("g1", "eta theta iota kappa lambda mu"),
+        # g2 = same vocabulary split differently across docs
+        ("g2", "alpha beta gamma delta epsilon zeta"),
+        ("g2", "eta theta iota kappa lambda mu"),
+        # g3 = disjoint vocabulary
+        ("g3", "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, "domain string, text string")
+    pairs = group_minhash_sim(
+        df, "domain", "text", num_perm=16, bands=4, threshold=0.9
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {("g1", "g2")}
+    assert pairs[0]["est_jaccard"] == 1.0
