@@ -637,6 +637,88 @@ def _bigram_logprob_oracle():
     )
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """GRADED CONTAINER-FORMAT query: write the documents table through
+    the WARC sink (executor-side shards, ISO-28500 response records),
+    read it back with the distributed offset-driven parser, and re-
+    extract every field from the bytes. The oracle recomputes urls,
+    timestamps, HTTP payload byte counts, and text straight from the
+    table — so a single byte wrong anywhere in the container framing,
+    the HTTP envelope, or the UTF-8 payload fails the hash."""
+    import tempfile
+
+    from geodiff_spark.sources.warc import read_warc, write_warc
+
+    pages = _spread_docs(spark, sf_dir).select(
+        F.concat(F.lit("https://example.org/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.expr(
+            "timestampadd(SECOND, doc_id, TIMESTAMP '2025-03-01 00:00:00')"
+        ).alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("<html><body>"),
+                     F.coalesce(F.col("text"), F.lit("")),
+                     F.lit("</body></html>")),
+            "UTF-8",
+        ).alias("html"),
+        F.coalesce(F.col("lang"), F.lit("und")).alias("lang"),
+    )
+    tmp = tempfile.mkdtemp(prefix="gds_warc_")
+    write_warc(pages.repartition(8, "url"), tmp)
+    out = read_warc(spark, tmp)
+    return out.select(
+        "url",
+        F.col("warc_ts").cast("timestamp_ntz").alias("warc_ts"),
+        "lang",
+        "n_http",
+        F.expr(
+            "substring(decode(html, 'UTF-8'), 13, "
+            "char_length(decode(html, 'UTF-8')) - 26)"
+        ).alias("text_out"),
+    )
+
+
+_WARC_ORACLE = """
+WITH d AS (
+  SELECT doc_id, COALESCE(text, '') AS text,
+         COALESCE(lang, 'und') AS lang,
+         octet_length(encode(
+           '<html><body>' || COALESCE(text, '') || '</body></html>'
+         )) AS n_html
+  FROM documents
+)
+SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       TIMESTAMP '2025-03-01 00:00:00' + to_seconds(doc_id) AS warc_ts,
+       lang,
+       CAST(77 + length(CAST(n_html AS VARCHAR)) + n_html AS BIGINT)
+         AS n_http,
+       text AS text_out
+FROM d
+"""
+
+
+def q_kmeans_embed(spark, sf_dir):
+    """Integer-exact Lloyd k-means over the embeddings table (topic /
+    data-mixing clustering; IVF coarse-quantizer training). Both
+    engines run 2 identical integer iterations from the same seeds, so
+    the final (cluster, dist) per vector is bit-exact — the oracle
+    unrolls the iterations as CTE stages."""
+    from geodiff_spark.operators.kmeans import kmeans_assign
+
+    emb = _emb(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    return kmeans_assign(emb, k=8, iters=2)
+
+
+def _kmeans_oracle():
+    from geodiff_spark.operators.kmeans import kmeans_oracle_sql
+
+    return kmeans_oracle_sql(
+        "SELECT vec_id, embedding FROM embeddings", k=8, iters=2, dim=64
+    )
+
+
 def q_simhash(spark, sf_dir):
     """Hard-verified: chunks=4 pigeonhole candidates are COMPLETE for
     hamming<=3, so the output equals all-pairs hamming<=2 over simhashes
@@ -2231,6 +2313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "domain_minhash": q_domain_minhash,
         "bigram_logprob": q_bigram_logprob,
+        "warc_roundtrip": q_warc_roundtrip,
+        "kmeans_embed": q_kmeans_embed,
         "simhash": q_simhash,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf": q_ann_ivf,
@@ -2347,6 +2431,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _minhash_lsh_oracle(),
         "domain_minhash": _domain_minhash_oracle(),
         "bigram_logprob": _bigram_logprob_oracle(),
+        "warc_roundtrip": _WARC_ORACLE,
+        "kmeans_embed": _kmeans_oracle(),
         "simhash": _simhash_oracle(),
         "cosine_dups_lsh": _cosine_dups_lsh_oracle(),
     }

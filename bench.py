@@ -173,7 +173,8 @@ def run_scaling_worker(cores: int, n_pages: int, trials: int | None = None) -> N
     # best-of-N: the sandbox VM has bursty co-tenant noise (see
     # BENCH/BASELINE.md); best-of is the stable estimator of capacity
     print(json.dumps({"cores": cores, "rows": rows, "seconds": min(times),
-                      "trials": [round(t, 2) for t in times]}))
+                      "trials": [round(t, 2) for t in times],
+                      "eff_cores": _effective_cores(cores)}))
     spark.stop()
 
 
@@ -295,7 +296,39 @@ def _env_probe() -> dict:
     for _ in range(2_000_000):
         x = x * 1.0000001 + 1e-9
     spin_ms = (time.perf_counter() - t0) * 1000.0
-    return {"sys_steal_frac": round(sys_frac, 4), "spin_ms": round(spin_ms, 1)}
+    return {"sys_steal_frac": round(sys_frac, 4), "spin_ms": round(spin_ms, 1),
+            "eff_cores": _effective_cores()}
+
+
+def _effective_cores(n: int = 32) -> float:
+    """Measured PARALLEL capacity of the box: speedup of an n-process
+    numpy matmul fleet over one process. The single-thread spin probe
+    misses the dominant noise mode on this VM — hypervisor co-tenancy
+    that caps aggregate throughput (measured 26/08/17: eff_cores 6.8 on
+    an otherwise-idle 32-vCPU guest, no cgroup quota, nr_throttled 0)
+    while leaving single-thread latency near-normal. Saturating queries
+    slow by 32/eff_cores in such windows; small queries don't notice.
+    A bench record is only meaningful alongside this number."""
+    import multiprocessing as mp
+
+    serial = min(_cap_work(0), _cap_work(0))
+    with mp.Pool(n) as p:
+        t0 = time.perf_counter()
+        p.map(_cap_work, range(n))
+        wall = time.perf_counter() - t0
+    return round(n * serial / wall, 1)
+
+
+def _cap_work(_) -> float:
+    """One unit of the parallel-capacity probe (module-level so
+    multiprocessing can pickle it)."""
+    import numpy as np
+
+    a = np.random.RandomState(0).rand(400, 400)
+    t0 = time.perf_counter()
+    for _ in range(40):
+        a = a @ a.T / 400
+    return time.perf_counter() - t0
 
 
 def run_suite() -> None:
