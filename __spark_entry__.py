@@ -637,6 +637,30 @@ def _bigram_logprob_oracle():
     )
 
 
+def q_fluency_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail corpus partition by bigram-LM
+    fluency. The rank comes from the two-phase range-partitioned cumsum
+    (no single-partition NTILE window); the oracle states the same
+    semantics as a plain NTILE — so the closed-form distributed bucket
+    must agree bucket-for-bucket with the SQL-standard one."""
+    from geodiff_spark.operators.lm import fluency_buckets
+
+    return fluency_buckets(
+        _spread_docs(spark, sf_dir).select("doc_id", "text"),
+        "doc_id",
+        "text",
+        n_buckets=3,
+    )
+
+
+def _fluency_buckets_oracle():
+    from geodiff_spark.operators.lm import fluency_buckets_sql
+
+    return fluency_buckets_sql(
+        "SELECT doc_id, text FROM documents", "doc_id", "text", n_buckets=3
+    )
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """GRADED CONTAINER-FORMAT query: write the documents table through
     the WARC sink (executor-side shards, ISO-28500 response records),
@@ -717,6 +741,83 @@ def _kmeans_oracle():
     return kmeans_oracle_sql(
         "SELECT vec_id, embedding FROM embeddings", k=8, iters=2, dim=64
     )
+
+
+def q_ann_ivf_trained(spark, sf_dir):
+    """IVF ANN with a TRAINED coarse quantizer: the k-means centroids
+    (2 integer-exact Lloyd iterations) replace the stride-sampled
+    centroid set, then the identical broadcast-assign / cluster-join /
+    exact-rerank search runs. The oracle replays training (unrolled
+    CTEs) AND the search, so centroid drift, assignment, probing and
+    ranking are all hash-checked end-to-end."""
+    from geodiff_spark.operators.kmeans import kmeans_centroids
+    from geodiff_spark.operators.similarity import ann_ivf_search
+
+    emb = _emb(spark, sf_dir)
+    cents = kmeans_centroids(emb, k=8, iters=2).select(
+        F.col("cid").alias("vec_id"), F.col("centroid").alias("embedding")
+    )
+    queries = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ann_ivf_search(emb, queries, cents, k=8, nprobe=2).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+def _ann_ivf_trained_sql():
+    from geodiff_spark.operators.kmeans import kmeans_oracle_ctes
+
+    kctes, final_c = kmeans_oracle_ctes(
+        "SELECT vec_id, embedding FROM embeddings", k=8, iters=2, dim=64
+    )
+
+    def dot(a, b):
+        return dot_sql(a, b)
+
+    inv = "CAST(1.0 AS DOUBLE) / sqrt({d})"
+    search = f"""e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {inv.format(d=dot('embedding', 'embedding'))} AS inv
+      FROM embeddings
+    ), c AS (
+      SELECT cid, cv, {inv.format(d=dot('cv', 'cv'))} AS cinv FROM (
+        SELECT cid, list_transform(c, x -> CAST(x AS DOUBLE)
+               / 1000000.0) AS cv
+        FROM {final_c}
+      )
+    ), assign AS (
+      SELECT vec_id, v, inv, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY csim DESC, cid ASC) AS cr
+      FROM (SELECT e.vec_id, e.v, e.inv, c.cid,
+                   {dot('e.v', 'c.cv')} * e.inv * c.cinv AS csim
+            FROM e CROSS JOIN c)
+    ), lists AS (
+      SELECT vec_id, v, inv, cid AS cluster FROM assign WHERE cr = 1
+    ), qs AS (
+      SELECT vec_id AS qid, v AS qv, inv AS qinv FROM e WHERE vec_id < 3
+    ), probes AS (
+      SELECT qid, qv, qinv, cid AS cluster FROM (
+        SELECT qs.qid, qs.qv, qs.qinv, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY qs.qid
+                                  ORDER BY {dot('qs.qv', 'c.cv')} * qs.qinv * c.cinv DESC,
+                                           c.cid ASC) AS cr
+        FROM qs CROSS JOIN c)
+      WHERE cr <= 2
+    ), cand AS (
+      SELECT DISTINCT p.qid, p.qv, p.qinv, l.vec_id, l.v, l.inv
+      FROM lists l JOIN probes p USING (cluster)
+    )
+    SELECT qid, vec_id, cos_sim, rank FROM (
+      SELECT qid, vec_id,
+             {dot('v', 'qv')} * inv * qinv AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY {dot('v', 'qv')} * inv * qinv DESC,
+                                         vec_id ASC) AS rank
+      FROM cand
+    ) WHERE rank <= 8"""
+    return "WITH " + ",\n".join(kctes) + ",\n" + search
 
 
 def q_simhash(spark, sf_dir):
@@ -2313,8 +2414,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "domain_minhash": q_domain_minhash,
         "bigram_logprob": q_bigram_logprob,
+        "fluency_buckets": q_fluency_buckets,
         "warc_roundtrip": q_warc_roundtrip,
         "kmeans_embed": q_kmeans_embed,
+        "ann_ivf_trained": q_ann_ivf_trained,
         "simhash": q_simhash,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf": q_ann_ivf,
@@ -2431,8 +2534,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _minhash_lsh_oracle(),
         "domain_minhash": _domain_minhash_oracle(),
         "bigram_logprob": _bigram_logprob_oracle(),
+        "fluency_buckets": _fluency_buckets_oracle(),
         "warc_roundtrip": _WARC_ORACLE,
         "kmeans_embed": _kmeans_oracle(),
+        "ann_ivf_trained": _ann_ivf_trained_sql(),
         "simhash": _simhash_oracle(),
         "cosine_dups_lsh": _cosine_dups_lsh_oracle(),
     }

@@ -82,6 +82,37 @@ def _assign(q: DataFrame, id_col: str, centroids: list[tuple[int, list[int]]]) -
     )
 
 
+def _train(
+    q: DataFrame, id_col: str, k: int, iters: int, scale: int, dim: int
+) -> list[tuple[int, list[int]]]:
+    """The Lloyd loop over a quantized (id, q) frame. Per-iteration
+    driver sync is k rows of (dim sums + count) — bounded by KMAX, the
+    same contract as MLlib KMeans' own collect."""
+    seed = q.orderBy(id_col).limit(k).collect()
+    centroids = [(i, list(r["q"])) for i, r in enumerate(seed)]
+    for _ in range(iters):
+        a = _assign(q, id_col, centroids)
+        upd = (
+            a.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        new = {
+            int(r["cluster"]): [
+                (int(r[f"s{i}"]) + int(r["cnt"]) * scale) // int(r["cnt"])
+                - scale
+                for i in range(dim)
+            ]
+            for r in upd
+        }
+        # empty clusters keep their previous centroid
+        centroids = [(cid, new.get(cid, c)) for cid, c in centroids]
+    return centroids
+
+
 def kmeans_assign(
     df: DataFrame,
     *,
@@ -100,28 +131,7 @@ def kmeans_assign(
     q = df.select(F.col(id_col), quantize_expr(F.col(vec_col), scale).alias("q"))
     q = q.cache()
     try:
-        seed = q.orderBy(id_col).limit(k).collect()
-        centroids = [(i, list(r["q"])) for i, r in enumerate(seed)]
-        for _ in range(iters):
-            a = _assign(q, id_col, centroids)
-            upd = (
-                a.groupBy("cluster")
-                .agg(
-                    F.count(F.lit(1)).alias("cnt"),
-                    *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(dim)],
-                )
-                .collect()
-            )
-            new = {
-                int(r["cluster"]): [
-                    (int(r[f"s{i}"]) + int(r["cnt"]) * scale) // int(r["cnt"])
-                    - scale
-                    for i in range(dim)
-                ]
-                for r in upd
-            }
-            # empty clusters keep their previous centroid
-            centroids = [(cid, new.get(cid, c)) for cid, c in centroids]
+        centroids = _train(q, id_col, k, iters, scale, dim)
         return _assign(q, id_col, centroids).select(
             id_col, "cluster", "dist_scaled"
         )
@@ -129,7 +139,39 @@ def kmeans_assign(
         q.unpersist()
 
 
-def kmeans_oracle_sql(
+def kmeans_centroids(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """Train and return the final centroids as a k-row DataFrame
+    (cid int, centroid array<double>), unscaled back to vector space
+    (exact: int / 10^p divides to the correctly-rounded IEEE double in
+    both engines). This is the IVF coarse-quantizer trainer: feed the
+    result to :func:`similarity.ann_ivf_search`. SQL twin:
+    :func:`kmeans_centroids_sql`."""
+    if not 0 < k <= KMAX:
+        raise ValueError(f"k must be in (0, {KMAX}]")
+    dim = len(df.select(vec_col).first()[0])
+    q = df.select(F.col(id_col), quantize_expr(F.col(vec_col), scale).alias("q"))
+    q = q.cache()
+    try:
+        centroids = _train(q, id_col, k, iters, scale, dim)
+    finally:
+        q.unpersist()
+    spark = df.sparkSession
+    rows = [
+        (int(cid), [float(v) / float(scale) for v in c])
+        for cid, c in centroids
+    ]
+    return spark.createDataFrame(rows, "cid int, centroid array<double>")
+
+
+def kmeans_oracle_ctes(
     src_sql: str,
     *,
     id_col: str = "vec_id",
@@ -138,11 +180,9 @@ def kmeans_oracle_sql(
     iters: int = 2,
     scale: int = DEFAULT_SCALE,
     dim: int = 64,
-) -> str:
-    """DuckDB twin of :func:`kmeans_assign`: iterations unrolled as CTE
-    stages, same quantization, same integer distance, same shifted
-    floor-div mean, same (dist, cid) tie-break, same empty-cluster
-    carry-forward."""
+) -> tuple[list[str], str]:
+    """The unrolled-iteration CTE chain shared by the assignment and
+    centroid oracles. Returns (ctes, name of the final-centroid CTE)."""
     if not 0 < k <= KMAX:
         raise ValueError(f"k must be in (0, {KMAX}]")
 
@@ -195,9 +235,53 @@ def kmeans_oracle_sql(
     for it in range(iters):
         ctes.append(f"a{it} AS {assign_cte(f'c{it}')}")
         ctes.append(f"c{it + 1} AS {update_cte(f'a{it}', f'c{it}')}")
-    final = assign_cte(f"c{iters}")
+    ctes.append(f"afinal AS {assign_cte(f'c{iters}')}")
+    return ctes, f"c{iters}"
+
+
+def kmeans_oracle_sql(
+    src_sql: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    scale: int = DEFAULT_SCALE,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`kmeans_assign`: iterations unrolled as CTE
+    stages, same quantization, same integer distance, same shifted
+    floor-div mean, same (dist, cid) tie-break, same empty-cluster
+    carry-forward."""
+    ctes, _ = kmeans_oracle_ctes(
+        src_sql, id_col=id_col, vec_col=vec_col, k=k, iters=iters,
+        scale=scale, dim=dim,
+    )
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT id AS {id_col}, cid AS cluster, dist AS dist_scaled "
-        + f"FROM {final} t"
+        + "FROM afinal t"
+    )
+
+
+def kmeans_centroids_sql(
+    src_sql: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    scale: int = DEFAULT_SCALE,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`kmeans_centroids`: the final-iteration
+    centroids unscaled to doubles — `(cid, centroid DOUBLE[])`."""
+    ctes, final_c = kmeans_oracle_ctes(
+        src_sql, id_col=id_col, vec_col=vec_col, k=k, iters=iters,
+        scale=scale, dim=dim,
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT cid, list_transform(c, x -> CAST(x AS DOUBLE)"
+        + f" / {float(scale)}) AS centroid FROM {final_c} t"
     )

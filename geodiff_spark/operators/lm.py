@@ -110,3 +110,84 @@ def bigram_lm_scores_sql(
     FROM bg JOIN model m ON bg.w1 = m.w1 AND bg.w2 = m.w2
     GROUP BY bg.doc_id
     """
+
+
+def fluency_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_buckets: int = 3,
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """CCNet-style corpus partition by LM fluency: rank documents by
+    average bigram conditional probability (descending) and split them
+    into ``n_buckets`` NTILE-equivalent buckets (1 = most fluent
+    "head", ..., n = "tail") — the quality-tiered sampling primitive of
+    web-corpus pipelines.
+
+    Scale shape: a bare ``NTILE() OVER (ORDER BY ...)`` funnels the
+    corpus through ONE task, so the rank comes from the two-phase
+    range-partitioned cumsum (:func:`corpus.global_cumsum`) instead,
+    and the bucket is the closed-form NTILE formula over (rank, total):
+    with base = T div n and rem = T mod n, the first ``rem`` buckets
+    hold base+1 rows — bit-identical to the SQL-standard NTILE both
+    engines implement. Costs one extra scalar count job (the T
+    literal); docs with no bigrams (< 2 tokens) are excluded, as CCNet
+    drops unscorable docs. -> (id, avg_prob_scaled, bucket int)."""
+    from .corpus import global_cumsum
+
+    s = (
+        bigram_lm_scores(df, id_col, text_col, scale=scale)
+        .filter(F.col("n_bigrams") > 0)
+        .withColumn(
+            "avg_prob_scaled",
+            F.expr("CAST(score_scaled DIV n_bigrams AS BIGINT)"),
+        )
+        .withColumn("_neg", -F.col("avg_prob_scaled"))
+        .withColumn("_one", F.lit(1).cast("bigint"))
+    )
+    s = s.cache()
+    try:
+        total = s.count()
+    finally:
+        s.unpersist()  # lazy handle stays valid for the plan below
+    base, rem = total // n_buckets, total % n_buckets
+    cut = rem * (base + 1)
+    r = global_cumsum(s, ["_neg", id_col], "_one", out="_rank")
+    # exact integer DIV (double division would round at 10^12 ranks)
+    bucket = F.expr(
+        f"CASE WHEN _rank <= {cut} THEN (_rank - 1) DIV {base + 1} + 1 "
+        f"ELSE {rem} + (_rank - {cut} - 1) DIV {max(base, 1)} + 1 END"
+    )
+    return r.select(
+        F.col(id_col),
+        "avg_prob_scaled",
+        bucket.cast("int").alias("bucket"),
+    )
+
+
+def fluency_buckets_sql(
+    docs_sql: str,
+    id_col: str,
+    text_col: str,
+    *,
+    n_buckets: int = 3,
+    scale: int = DEFAULT_SCALE,
+) -> str:
+    """DuckDB twin of :func:`fluency_buckets` — states the semantics as
+    the plain NTILE the distributed closed form replicates."""
+    scores = bigram_lm_scores_sql(docs_sql, id_col, text_col, scale=scale)
+    return f"""
+    WITH scores AS ({scores}),
+    f AS (
+      SELECT {id_col},
+             CAST(score_scaled // n_bigrams AS BIGINT) AS avg_prob_scaled
+      FROM scores WHERE n_bigrams > 0
+    )
+    SELECT {id_col}, avg_prob_scaled,
+           CAST(NTILE({n_buckets}) OVER (
+             ORDER BY avg_prob_scaled DESC, {id_col}
+           ) AS INT) AS bucket
+    FROM f
+    """

@@ -373,6 +373,32 @@ def ann_ivf(
     if centroid_step is None:
         centroid_step = ivf_centroid_step(vectors.count(), n_lists)
     centroids = vectors.filter(F.col(id_col) % centroid_step == 0)
+    return ann_ivf_search(
+        vectors, queries, centroids,
+        k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+        qid_col=qid_col, qvec_col=qvec_col,
+    )
+
+
+def ann_ivf_search(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    *,
+    k: int,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """The IVF search half, with a caller-supplied coarse quantizer:
+    ``centroids`` is any small (id, vector) frame — the stride-sampled
+    set (:func:`ann_ivf`) or a trained one
+    (:func:`operators.kmeans.kmeans_centroids`, which bounds k by the
+    same KMAX≈2^14 as IVF_MAX_LISTS, so the broadcast contract holds).
+    Same plan shape: one broadcast assignment pass over the corpus, a
+    cluster-keyed candidate join, local top-k."""
     lists = ivf_assign(
         vectors, centroids, nprobe=1, id_col=id_col, vec_col=vec_col
     )

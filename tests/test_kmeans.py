@@ -102,3 +102,53 @@ def test_empty_cluster_carries_forward(spark):
 def test_k_bounds():
     with pytest.raises(ValueError):
         kmeans_oracle_sql("SELECT 1", k=0)  # type: ignore[call-arg]
+
+
+def test_centroids_match_oracle_and_bound(spark):
+    from geodiff_spark.operators.kmeans import (
+        kmeans_centroids,
+        kmeans_centroids_sql,
+    )
+
+    rows = [
+        (0, [0.0, 0.0]), (1, [0.01, 0.0]), (2, [0.0, 0.01]),
+        (3, [1.0, 1.0]), (4, [0.99, 1.0]), (5, [-1.0, 0.99]),
+    ]
+    cdf = kmeans_centroids(_df(spark, rows, 2), k=3, iters=2)
+    got = sorted((r["cid"], tuple(r["centroid"])) for r in cdf.collect())
+    assert len(got) == 3  # exactly k rows: the broadcast side is O(k)
+    con = duckdb.connect()
+    con.register(
+        "emb",
+        pd.DataFrame(
+            {"vec_id": [i for i, _ in rows],
+             "embedding": [v for _, v in rows]}
+        ),
+    )
+    exp = sorted(
+        (cid, tuple(c))
+        for cid, c in con.sql(kmeans_centroids_sql(
+            "SELECT vec_id, embedding FROM emb", k=3, iters=2, dim=2
+        )).fetchall()
+    )
+    assert got == exp  # bit-exact doubles, not approx
+
+
+def test_ivf_search_with_stride_centroids_equals_ann_ivf(spark):
+    from pyspark.sql import functions as F
+
+    from geodiff_spark.operators.similarity import ann_ivf, ann_ivf_search
+
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(4)])
+         for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    qs = vecs.filter("vec_id < 2").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    a = ann_ivf(vecs, qs, k=5, centroid_step=8, nprobe=2)
+    b = ann_ivf_search(
+        vecs, qs, vecs.filter("vec_id % 8 = 0"), k=5, nprobe=2
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -232,3 +232,50 @@ def test_group_minhash_union_semantics(spark):
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {("g1", "g2")}
     assert pairs[0]["est_jaccard"] == 1.0
+
+
+def test_fluency_buckets_ntile_parity(spark):
+    # closed-form distributed bucket == SQL-standard NTILE, including
+    # the uneven-remainder case (7 scorable docs into 3 buckets:
+    # sizes 3/2/2) and exclusion of unscorable (<2 token) docs
+    import duckdb
+    import pandas as pd
+
+    from geodiff_spark.operators.lm import (
+        fluency_buckets,
+        fluency_buckets_sql,
+    )
+
+    texts = [
+        (1, "a b a b a b"), (2, "a b c d"), (3, "a b"), (4, "b a"),
+        (5, "c c c"), (6, "d a b"), (7, "a a a a"), (8, "solo"),
+        (9, ""),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = sorted(map(tuple, fluency_buckets(df, "doc_id", "text").collect()))
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(texts, columns=["doc_id", "text"]))
+    exp = sorted(map(tuple, con.sql(fluency_buckets_sql(
+        "SELECT doc_id, text FROM docs", "doc_id", "text"
+    )).fetchall()))
+    assert got == exp
+    assert len(got) == 7  # 8 and 9 have no bigrams
+    sizes = sorted(
+        pd.Series([b for _, _, b in got]).value_counts().tolist(),
+        reverse=True,
+    )
+    assert sizes == [3, 2, 2]
+
+
+def test_fluency_buckets_fewer_rows_than_buckets(spark):
+    # T < n_buckets: every doc gets its own bucket (ntile semantics)
+    from geodiff_spark.operators.lm import fluency_buckets
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "c d")], "doc_id long, text string"
+    )
+    out = sorted(
+        (r["doc_id"], r["bucket"])
+        for r in fluency_buckets(df, "doc_id", "text", n_buckets=5).collect()
+    )
+    assert [b for _, b in out] == [1, 2]
