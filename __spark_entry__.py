@@ -721,6 +721,76 @@ FROM d
 """
 
 
+def q_wet_extract(spark, sf_dir):
+    """GRADED CONTAINER-CONVERSION query — the Common Crawl WARC→WET
+    pipeline in miniature: write the documents table as WARC response
+    records, read them back distributed, run the JVM html→text
+    extraction kernel on the payload, write the result as WET
+    "conversion" records, read those back, and return every field
+    re-extracted from WET bytes. The oracle recomputes url, timestamp,
+    extracted text, and its UTF-8 byte count straight from the table —
+    both container framings and the extraction must be byte-perfect."""
+    import tempfile
+
+    from geodiff_spark.functions.text_extract import extract_text_expr
+    from geodiff_spark.sources.warc import (
+        read_warc,
+        read_wet,
+        write_warc,
+        write_wet,
+    )
+
+    pages = _spread_docs(spark, sf_dir).select(
+        F.concat(F.lit("https://example.org/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.expr(
+            "timestampadd(SECOND, doc_id, TIMESTAMP '2025-03-01 00:00:00')"
+        ).alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("<html><head><title>t</title></head><body><p>"),
+                     F.coalesce(F.col("text"), F.lit("")),
+                     F.lit("</p></body></html>")),
+            "UTF-8",
+        ).alias("html"),
+        F.coalesce(F.col("lang"), F.lit("und")).alias("lang"),
+    )
+    warc_dir = tempfile.mkdtemp(prefix="gds_warc_in_")
+    wet_dir = tempfile.mkdtemp(prefix="gds_wet_out_")
+    write_warc(pages.repartition(8, "url"), warc_dir)
+    resp = read_warc(spark, warc_dir)
+    write_wet(
+        resp.select(
+            "url", "warc_ts",
+            extract_text_expr(F.col("html")).alias("text"),
+        ).repartition(4, "url"),
+        wet_dir,
+    )
+    out = read_wet(spark, wet_dir)
+    return out.select(
+        "url",
+        F.col("warc_ts").cast("timestamp_ntz").alias("warc_ts"),
+        "n_text",
+        "text",
+    )
+
+
+_WET_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(
+           '<html><head><title>t</title></head><body><p>'
+             || COALESCE(text, '') || '</p></body></html>',
+           '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS extracted
+  FROM documents
+)
+SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       TIMESTAMP '2025-03-01 00:00:00' + to_seconds(doc_id) AS warc_ts,
+       CAST(octet_length(encode(extracted)) AS BIGINT) AS n_text,
+       extracted AS text
+FROM d
+"""
+
+
 def q_kmeans_embed(spark, sf_dir):
     """Integer-exact Lloyd k-means over the embeddings table (topic /
     data-mixing clustering; IVF coarse-quantizer training). Both
@@ -2416,6 +2486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "fluency_buckets": q_fluency_buckets,
         "warc_roundtrip": q_warc_roundtrip,
+        "wet_extract": q_wet_extract,
         "kmeans_embed": q_kmeans_embed,
         "ann_ivf_trained": q_ann_ivf_trained,
         "simhash": q_simhash,
@@ -2536,6 +2607,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_logprob": _bigram_logprob_oracle(),
         "fluency_buckets": _fluency_buckets_oracle(),
         "warc_roundtrip": _WARC_ORACLE,
+        "wet_extract": _WET_ORACLE,
         "kmeans_embed": _kmeans_oracle(),
         "ann_ivf_trained": _ann_ivf_trained_sql(),
         "simhash": _simhash_oracle(),

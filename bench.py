@@ -300,6 +300,20 @@ def _env_probe() -> dict:
             "eff_cores": _effective_cores()}
 
 
+def _await_capacity(target: float, tries: int = 9, sleep_s: float = 20.0) -> float:
+    """Poll the parallel-capacity probe until it clears ``target`` (or
+    the bounded wait runs out) and return the last reading. The VM's
+    co-tenancy storms last seconds-to-minutes; a short wait converts a
+    doomed salvage pass into a clean one."""
+    ec = _effective_cores()
+    for _ in range(tries):
+        if ec >= target:
+            break
+        time.sleep(sleep_s)
+        ec = _effective_cores()
+    return ec
+
+
 def _effective_cores(n: int = 32) -> float:
     """Measured PARALLEL capacity of the box: speedup of an n-process
     numpy matmul fleet over one process. The single-thread spin probe
@@ -351,6 +365,8 @@ def run_suite() -> None:
         "repetition_signals", "url_canonical", "domain_cap", "span_dedup",
         "decontaminate", "pii_redact", "stratified_sample", "dedup_clusters",
         "curation_pipeline", "pack_sequences", "repeated_spans", "link_rank",
+        "domain_minhash", "bigram_logprob", "fluency_buckets",
+        "kmeans_embed", "ann_ivf_trained", "warc_roundtrip",
     ]
     qs = E.queries()
     # warmup at the smallest sf: codegen/JIT caches, python worker pool,
@@ -378,7 +394,15 @@ def run_suite() -> None:
 
     times: dict[str, float] = {}
     best_spin: dict[str, float] = {}
+    best_ec: dict[str, float] = {}
     all_spins: list[float] = []
+    # capacity at the start of each suite pass: the spin probe catches
+    # single-thread latency storms, but the dominant noise mode on this
+    # VM is an AGGREGATE-throughput cap (hypervisor co-tenancy) that
+    # leaves single-thread latency near-normal — only the parallel
+    # matmul-fleet probe sees it. Measured once per pass (~1 s), not
+    # per trial, so the probe itself doesn't perturb the timings.
+    pass_ec: list[float] = []
 
     def run_trial(name: str) -> None:
         s = spin_ms()
@@ -389,19 +413,31 @@ def run_suite() -> None:
         if dt < times.get(name, float("inf")):
             times[name] = dt
             best_spin[name] = s
+            best_ec[name] = pass_ec[-1]
 
     for trials in (2, 1):
+        pass_ec.append(_effective_cores())
         for name in headline:
             for _ in range(trials):
                 run_trial(name)
     floor = min(all_spins)
-    suspect = [n for n in headline if best_spin[n] > 1.2 * floor]
-    for salvage_pass in range(2):
+
+    def degraded(n: str) -> bool:
+        return (
+            best_spin[n] > 1.2 * floor
+            or best_ec[n] < 0.85 * max(pass_ec)
+        )
+
+    suspect = [n for n in headline if degraded(n)]
+    for salvage_pass in range(3):
         if not suspect:
             break
+        # don't waste a salvage pass inside the same storm: poll until
+        # the capacity probe clears the bar (bounded wait, ~3 min max)
+        pass_ec.append(_await_capacity(0.85 * max(pass_ec)))
         for name in suspect:
             run_trial(name)
-        suspect = [n for n in suspect if best_spin[n] > 1.2 * floor]
+        suspect = [n for n in suspect if degraded(n)]
     times = {k: round(v, 3) for k, v in times.items()}
 
     # pages diff throughput (the BASELINE.json headline metric);
@@ -413,18 +449,32 @@ def run_suite() -> None:
         prefix="bench_pages_"
     )
     v1, v2 = materialize_pages(spark, n_pages, bench_dir)
-    dt = float("inf")
-    for _ in range(2):  # best-of-2, same as the query suite (cold first
-        # run pays page-cache + codegen for the enrichment kernels)
+    dt, dt_ec = float("inf"), 0.0
+    # best-of-2 (cold first run pays page-cache + codegen for the
+    # enrichment kernels) + up to 2 capacity-gated extra trials: this is
+    # the one SATURATING query in the suite, so a capped window slows it
+    # by 32/eff_cores while the small queries barely notice
+    for trial in range(5):
+        ec = (
+            _effective_cores()
+            if trial == 0
+            else _await_capacity(0.85 * max(pass_ec + [dt_ec]))
+        )
         t0 = time.perf_counter()
         rows = scaling_workload(spark, v1, v2, n_pages)
-        dt = min(dt, time.perf_counter() - t0)
+        t = time.perf_counter() - t0
+        if t < dt:
+            dt, dt_ec = t, ec
+        if trial >= 1 and dt_ec >= 0.85 * max(pass_ec + [ec]):
+            break
     times["pages_diff_rollup"] = round(dt, 3)
 
     result = {
         "metric": "spatial-join + changeset-diff suite wall time",
         "env": {"pre": env_pre, "post": _env_probe(),
                 "spin_floor_ms": round(floor, 1),
+                "pass_eff_cores": pass_ec,
+                "pages_rollup_eff_cores": dt_ec,
                 "storm_suspect_queries": suspect},
         "value": round(sum(times.values()), 3),
         "unit": "sec",

@@ -140,11 +140,10 @@ _HDR_RE = {
 }
 
 
-def parse_warc_bytes(content: bytes) -> Iterator[tuple]:
-    """Offset-driven WARC record scan over one shard's bytes. Yields
-    (url, warc_date, lang, n_http, html) for response records; skips
-    warcinfo/other types. Content-Length drives every jump — payload
-    bytes are never delimiter-scanned."""
+def _scan_records(content: bytes) -> Iterator[tuple[bytes, bytes]]:
+    """Offset-driven record scan over one shard's bytes: yields
+    (header, body) per record. Content-Length drives every jump —
+    payload bytes are never delimiter-scanned."""
     pos, n = 0, len(content)
     while pos < n:
         if content.startswith(_CRLF, pos):  # inter-record blank lines
@@ -162,6 +161,13 @@ def parse_warc_bytes(content: bytes) -> Iterator[tuple]:
         clen = int(m.group(1))
         body = content[hdr_end + 4 : hdr_end + 4 + clen]
         pos = hdr_end + 4 + clen
+        yield header, body
+
+
+def parse_warc_bytes(content: bytes) -> Iterator[tuple]:
+    """Yield (url, warc_date, lang, n_http, html) for response records;
+    skip warcinfo/other types."""
+    for header, body in _scan_records(content):
         rtype = _HDR_RE["type"].search(header)
         if rtype and rtype.group(1) == b"response":
             # split the HTTP payload: headers end at the first CRLFCRLF
@@ -202,4 +208,99 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         "lang",
         "n_http",
         "html",
+    )
+
+
+# ---------------------------------------------------------------------------
+# WET — the extracted-text sibling container (Common Crawl "conversion"
+# records: text/plain payload, WARC-Refers-To links back to the response
+# record). Same shard-per-partition sink and file-per-task source.
+# ---------------------------------------------------------------------------
+
+WET_RECORD_SCHEMA = "url string, warc_date string, n_text bigint, text binary"
+
+
+def _wet_record_bytes(url: str, warc_date: str, text: bytes) -> bytes:
+    rid = "urn:geodiff-spark:wet:" + url
+    hdr = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: conversion\r\n"
+        b"WARC-Record-ID: <" + rid.encode() + b">\r\n"
+        b"WARC-Refers-To: <urn:geodiff-spark:" + url.encode() + b">\r\n"
+        b"WARC-Date: " + warc_date.encode() + b"\r\n"
+        b"WARC-Target-URI: " + url.encode() + b"\r\n"
+        b"Content-Type: text/plain\r\n"
+        b"Content-Length: " + str(len(text)).encode() + _HDR_END
+    )
+    return hdr + text + _CRLF + _CRLF
+
+
+def write_wet(pages: DataFrame, path: str) -> pd.DataFrame:
+    """Write (url, warc_ts timestamp, text string) rows as WET shards
+    under ``path`` — same executor-side, retry-idempotent,
+    url-sorted-within-shard contract as :func:`write_warc`."""
+    os.makedirs(path, exist_ok=True)
+    df = pages.select(
+        "url",
+        F.date_format(F.col("warc_ts"), _WARC_DATE_FMT).alias("warc_date"),
+        F.encode(F.col("text"), "UTF-8").alias("text"),
+    )
+
+    def write_part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        shard = f"part-{pid:05d}.warc.wet"
+        chunks = [c for c in it if len(c)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values("url")
+        buf = [_warcinfo(shard)]
+        for url, wdate, text in pdf.itertuples(index=False, name=None):
+            buf.append(_wet_record_bytes(url, wdate, bytes(text)))
+        blob = b"".join(buf)
+        tmp = os.path.join(path, f".{shard}.tmp-{pid}")
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, os.path.join(path, shard))
+        yield pd.DataFrame(
+            {"shard": [shard], "n_records": [len(pdf)], "n_bytes": [len(blob)]}
+        )
+
+    return df.mapInPandas(write_part, schema=MANIFEST_SCHEMA).toPandas()
+
+
+def parse_wet_bytes(content: bytes) -> Iterator[tuple]:
+    """Yield (url, warc_date, n_text, text) for conversion records."""
+    for header, body in _scan_records(content):
+        rtype = _HDR_RE["type"].search(header)
+        if rtype and rtype.group(1) == b"conversion":
+            yield (
+                _HDR_RE["url"].search(header).group(1).decode(),
+                _HDR_RE["date"].search(header).group(1).decode(),
+                len(body),
+                body,
+            )
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed WET reader (one task per shard file). Columns: url,
+    warc_ts timestamp, n_text (payload bytes), text string (UTF-8)."""
+    files = spark.read.format("binaryFile").load(f"{path}/*.warc.wet")
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for content in pdf["content"]:
+                rows = list(parse_wet_bytes(bytes(content)))
+                if rows:
+                    yield pd.DataFrame(
+                        rows, columns=["url", "warc_date", "n_text", "text"]
+                    )
+
+    rec = files.select("content").mapInPandas(parse, schema=WET_RECORD_SCHEMA)
+    return rec.select(
+        "url",
+        F.to_timestamp("warc_date", _WARC_DATE_FMT).alias("warc_ts"),
+        "n_text",
+        F.decode(F.col("text"), "UTF-8").alias("text"),
     )

@@ -93,3 +93,45 @@ def test_parse_rejects_garbage():
         list(parse_warc_bytes(b"NOT-A-WARC"))
     with pytest.raises(ValueError, match="Content-Length"):
         list(parse_warc_bytes(b"WARC/1.0\r\nWARC-Type: response\r\n\r\n"))
+
+
+def test_wet_roundtrip_and_adversarial_payload(spark, tmp_path):
+    # WET conversion records: text containing CRLFCRLF and the record
+    # magic must survive (offset-driven parse), byte counts must match
+    from geodiff_spark.sources.warc import read_wet, write_wet
+
+    rows = [
+        ("http://a.example/1", "plain text"),
+        ("http://a.example/2", "tricky\r\n\r\nWARC/1.0\r\nnot a record"),
+        ("http://b.example/3", "unicode é中文"),
+    ]
+    df = spark.createDataFrame(
+        [(u, TS, t) for u, t in rows],
+        "url string, warc_ts timestamp, text string",
+    )
+    man = write_wet(df.repartition(2, "url"), str(tmp_path / "wet"))
+    assert man["n_records"].sum() == 3
+    back = read_wet(spark, str(tmp_path / "wet"))
+    got = {r["url"]: r for r in back.collect()}
+    for u, t in rows:
+        assert got[u]["text"] == t
+        assert got[u]["n_text"] == len(t.encode("utf-8"))
+        assert got[u]["warc_ts"] == TS
+
+
+def test_wet_records_carry_refers_to(spark, tmp_path):
+    # the conversion record must link back to its response record and
+    # parse_warc_bytes must NOT see conversion records as responses
+    from geodiff_spark.sources.warc import parse_wet_bytes, write_wet
+
+    df = spark.createDataFrame(
+        [("http://x.example/1", TS, "body text")],
+        "url string, warc_ts timestamp, text string",
+    )
+    write_wet(df.coalesce(1), str(tmp_path / "wet"))
+    shard = next((tmp_path / "wet").glob("*.warc.wet"))
+    raw = shard.read_bytes()
+    assert b"WARC-Refers-To: <urn:geodiff-spark:http://x.example/1>" in raw
+    assert b"WARC-Type: conversion" in raw
+    assert list(parse_warc_bytes(raw)) == []  # responses only
+    assert len(list(parse_wet_bytes(raw))) == 1
