@@ -2464,6 +2464,178 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# round-3 batch 2: anchor aggregation, cohorts, boilerplate DF-filter,
+# adaptive quality gate, zonal stats
+# ---------------------------------------------------------------------------
+
+_ANCHOR_K = 3
+
+
+def q_anchor_texts(spark, sf_dir):
+    """Inbound anchor-text aggregation over the synthesized link graph
+    (same deterministic (a,b) out-link scheme as link_rank; the anchor
+    a source page uses is its own leading bigram). Per target: top-k
+    anchors by inlink count + total inlinks — the anchor profile used
+    for target-page representation in web-corpus curation."""
+    from geodiff_spark.operators.graph import anchor_topk
+
+    d = _spread_docs(spark, sf_dir)
+    n_docs = d.count()
+    toks = TX.tokens_expr(F.col("text"))
+    src = d.select(
+        F.col("doc_id").alias("src"),
+        F.concat_ws(" ", F.slice(toks, 1, 2)).alias("anchor"),
+    )
+    edges = None
+    for a, b in _PR_LINKS:
+        e = src.select(
+            ((F.col("src") * a + b) % n_docs).alias("dst"), "anchor"
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    return anchor_topk(edges, _ANCHOR_K)
+
+
+def _anchor_texts_sql():
+    from geodiff_spark.operators.graph import anchor_topk_sql
+
+    toks = TX.tokens_sql("text")
+    edges = " UNION ALL ".join(
+        f"SELECT (doc_id * {a} + {b}) % (SELECT count(*) FROM documents)"
+        f" AS dst, array_to_string(list_slice({toks}, 1, 2), ' ') AS anchor"
+        " FROM documents"
+        for a, b in _PR_LINKS
+    )
+    return anchor_topk_sql(edges, _ANCHOR_K)
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort-retention matrix over the events table: users
+    cohorted by first-active ISO week, exact distinct-active counts per
+    (cohort_week, week_offset) from ONE user-keyed shuffle."""
+    from geodiff_spark.operators.temporal import cohort_retention
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cohort_retention(ev, "user_id", "ts")
+
+
+def _cohort_retention_sql():
+    from geodiff_spark.operators.temporal import cohort_retention_sql
+
+    return cohort_retention_sql("SELECT user_id, ts FROM events")
+
+
+_BP_SPAN = 6  # boilerplate chunk width (tokens)
+_BP_MAX_DF = 2  # chunks in more docs than this are template text
+
+
+def q_boilerplate_chunks(spark, sf_dir):
+    """Frequency-based boilerplate removal (the dual of span_dedup):
+    drop EVERY occurrence of any {_BP_SPAN}-token chunk whose document
+    frequency exceeds {_BP_MAX_DF}; docs rebuilt from surviving
+    chunks. Offender set is broadcast (bounded by chunks/max_df)."""
+    from geodiff_spark.operators.corpus import boilerplate_chunks
+
+    return boilerplate_chunks(
+        _spread_docs(spark, sf_dir), "doc_id", "text", _BP_SPAN, _BP_MAX_DF
+    )
+
+
+def _boilerplate_chunks_sql():
+    toks = TX.tokens_sql("text")
+    return f"""
+    WITH tk AS (SELECT doc_id, {toks} AS t FROM documents),
+    ix AS (
+      SELECT doc_id, t,
+             unnest(range(0, CAST(ceil(len(t) / {_BP_SPAN}.0) AS BIGINT))) AS i
+      FROM tk
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             array_to_string(list_slice(t, i * {_BP_SPAN} + 1, i * {_BP_SPAN} + {_BP_SPAN}), ' ') AS chunk
+      FROM ix
+    ),
+    offenders AS (
+      SELECT chunk FROM (
+        SELECT chunk, count(DISTINCT doc_id) AS df FROM chunks GROUP BY chunk
+      ) WHERE df > {_BP_MAX_DF}
+    ),
+    kept AS (
+      SELECT c.* FROM chunks c ANTI JOIN offenders o ON c.chunk = o.chunk
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS kept_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, CAST(ceil(len(t) / {_BP_SPAN}.0) AS BIGINT) AS n_spans FROM tk)
+    SELECT tot.doc_id, coalesce(agg.kept_text, '') AS kept_text, tot.n_spans,
+           CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept
+    FROM tot LEFT JOIN agg USING (doc_id)
+    """
+
+
+def q_quality_gate(spark, sf_dir):
+    """CCNet-style adaptive quality gate: within each language keep the
+    top half of documents by quality score — rank-based per-group
+    threshold (engine-exact; no float quantile interpolation)."""
+    from geodiff_spark.operators.corpus import adaptive_quality_gate
+
+    d = _spread_docs(spark, sf_dir).select(
+        "doc_id", "lang", TX.quality_expr(F.col("text")).alias("q")
+    )
+    return adaptive_quality_gate(d, "lang", "q", "doc_id", 1, 2)
+
+
+def _quality_gate_sql():
+    return f"""
+    SELECT doc_id, lang, q, rk, n_group FROM (
+      SELECT doc_id, lang, q,
+             row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n_group
+      FROM (SELECT doc_id, lang, {TX.quality_sql('text')} AS q FROM documents)
+    ) WHERE rk <= ceil(n_group / 2.0)
+    """
+
+
+def q_zonal_stats(spark, sf_dir):
+    """Zonal statistics: per-tile rollup of the customer points that
+    ray-cast inside each region tile polygon (broadcast cell-covered
+    zones -> PIP refine -> one groupBy shuffle). Order-independent
+    aggregates only (counts / integer sums / min-max) for bit parity."""
+    from geodiff_spark.spatial.pip import zonal_stats
+
+    pts = _customers_geo(spark, sf_dir).withColumn(
+        "nk", (F.col("c_custkey") % 25).cast("long")
+    )
+    tiles = _tiles(spark, sf_dir).select("tile_id", "ring")
+    return zonal_stats(
+        pts,
+        tiles,
+        [
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("nk").alias("sum_nk"),
+            F.min("lat").alias("min_lat"),
+            F.max("lon").alias("max_lon"),
+        ],
+        res=5,
+    )
+
+
+def _zonal_stats_sql():
+    return f"""
+    SELECT r.r_regionkey AS tile_id,
+           count(*) AS n_points,
+           CAST(SUM(c.c_custkey % 25) AS BIGINT) AS sum_nk,
+           MIN({_LAT}) AS min_lat,
+           MAX({_LON}) AS max_lon
+    FROM customer c, region r
+    WHERE {_LON} >= {_TILE_X0} AND {_LON} < {_TILE_X0} + {_TILE_W}
+      AND {_LAT} >= {_TILE_Y0} AND {_LAT} < {_TILE_Y0} + {_TILE_H}
+    GROUP BY 1
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "diff_changeset": q_diff_changeset,
@@ -2535,6 +2707,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_est": q_join_size_est,
         "geohash_assign": q_geohash_assign,
         "pyramid_delta": q_pyramid_delta,
+        "anchor_texts": q_anchor_texts,
+        "cohort_retention": q_cohort_retention,
+        "boilerplate_chunks": q_boilerplate_chunks,
+        "quality_gate": q_quality_gate,
+        "zonal_stats": q_zonal_stats,
     }
 
 
@@ -2612,4 +2789,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_trained": _ann_ivf_trained_sql(),
         "simhash": _simhash_oracle(),
         "cosine_dups_lsh": _cosine_dups_lsh_oracle(),
+        "anchor_texts": _anchor_texts_sql(),
+        "cohort_retention": _cohort_retention_sql(),
+        "boilerplate_chunks": _boilerplate_chunks_sql(),
+        "quality_gate": _quality_gate_sql(),
+        "zonal_stats": _zonal_stats_sql(),
     }

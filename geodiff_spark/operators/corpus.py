@@ -312,3 +312,110 @@ def stratified_sample_sql(
     thresh = f"(CASE {cases} ELSE {int(default_rate * buckets)} END)"
     bucket = f"(({text_sql_fingerprint}) % {buckets} + {buckets}) % {buckets}"
     return f"SELECT *, CAST({bucket} AS BIGINT) AS bucket FROM {table} WHERE {bucket} < {thresh}"
+
+
+def boilerplate_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span: int = 8,
+    max_df: int = 2,
+) -> DataFrame:
+    """RefinedWeb/CCNet-style boilerplate removal by FREQUENCY: split
+    each document into non-overlapping ``span``-token chunks and drop
+    every occurrence of any chunk that appears in MORE than ``max_df``
+    distinct documents (nav bars, cookie banners, footers — text whose
+    document frequency marks it as template, not content). The dual of
+    :func:`span_dedup`: first-wins dedup keeps one copy of duplicated
+    content; the DF filter keeps NO copy of boilerplate.
+
+    Returns per-doc (id, kept_text, n_spans, n_kept) like span_dedup.
+
+    Scale shape: one shuffle keyed by chunk computes exact document
+    frequency (distinct (chunk, doc) first — chunks repeating within
+    one doc count once); the offending chunk set is tiny BY
+    CONSTRUCTION (at most corpus_chunks / max_df chunks can exceed the
+    threshold, and real boilerplate sets are far smaller), so the
+    removal join is a broadcast LEFT ANTI — the corpus-sized side
+    never reshuffles.
+    """
+    toks = tokens_expr(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(span)).cast("int")
+    chunks = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * span + 1, span)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(F.col(id_col), chunks.alias("chunks")).select(
+        id_col, F.posexplode("chunks").alias("pos", "chunk")
+    )
+    offenders = (
+        ex.select(id_col, "chunk")
+        .distinct()
+        .groupBy("chunk")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("chunk")
+    )
+    kept = ex.join(F.broadcast(offenders), "chunk", "left_anti")
+    per_doc = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s.chunk,
+            ),
+        ).alias("kept_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = df.select(F.col(id_col), n_chunks.cast("long").alias("n_spans"))
+    return totals.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+        F.col("n_spans"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
+def adaptive_quality_gate(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    keep_frac_num: int = 1,
+    keep_frac_den: int = 2,
+) -> DataFrame:
+    """Per-group ADAPTIVE quality gate: within every group (language,
+    source, domain...) keep the best ``keep_frac_num/keep_frac_den``
+    fraction of rows by score — the CCNet trick of thresholding each
+    language against ITS OWN score distribution instead of one global
+    cutoff (which would empty low-resource languages).
+
+    The threshold is rank-based (row_number over (score desc, id) vs
+    ceil(n * frac)), so the gate is exact and engine-independent — no
+    float quantile interpolation to drift cross-engine. Returns the
+    surviving rows as (id, group, score, rk, n_group).
+
+    Scale shape: one shuffle on the group key; rank and group size are
+    two window ops over the SAME partitioning (one Exchange). The
+    rank filter cannot WindowGroupLimit-prune below the count window
+    (the cutoff needs n), which is inherent to any adaptive gate — at
+    web scale group cardinality (languages) is tiny vs rows, so the
+    Exchange is the whole cost, same as a groupBy.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col)
+    ranked = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(score_col),
+        F.row_number()
+        .over(w.orderBy(F.desc(score_col), F.asc(id_col)))
+        .alias("rk"),
+        F.count(F.lit(1)).over(w).alias("n_group"),
+    )
+    cutoff = F.ceil(F.col("n_group") * keep_frac_num / keep_frac_den)
+    return ranked.filter(F.col("rk") <= cutoff)

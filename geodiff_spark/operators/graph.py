@@ -25,6 +25,7 @@ operators/cluster.py connected components).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 SCALE = 10**12
 D_NUM, D_DEN = 85, 100  # damping 0.85 as an exact rational
@@ -106,3 +107,61 @@ def pagerank_fp_sql(
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT node, r AS rank FROM r{iters}"
     )
+
+
+def anchor_topk(
+    links: DataFrame,
+    k: int,
+    *,
+    dst_col: str = "dst",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Inbound anchor-text aggregation: for every link target keep the
+    top-``k`` anchor strings by inlink count (ties broken by anchor
+    text ascending) plus the target's total inlink count.
+
+    The anchor profile of a page (what OTHER pages call it) is the
+    classic web-corpus signal for target-page representation and
+    query-independent relevance (used by crawl curation and retrieval
+    pipelines over Common-Crawl-scale link graphs).
+
+    Scale shape: groupBy(dst, anchor) with map-side partial counts
+    collapses the raw edge list (10^13 edges at CC scale) to the
+    distinct-anchor relation in one shuffle; the rank and the total
+    inlink count are two window ops over the SAME partition key, so
+    Catalyst plans a single additional Exchange and no join — the total
+    must see every distinct anchor, which is also why the rank filter
+    deliberately sits ABOVE the sum (a WindowGroupLimit prune before
+    the sum would corrupt totals). Output:
+    (dst, anchor, n, rk, total_inlinks).
+    """
+    w = Window.partitionBy(dst_col)
+    grouped = links.groupBy(dst_col, anchor_col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ranked = grouped.select(
+        dst_col,
+        anchor_col,
+        "n",
+        F.row_number()
+        .over(w.orderBy(F.desc("n"), F.asc(anchor_col)))
+        .alias("rk"),
+        F.sum("n").over(w).alias("total_inlinks"),
+    )
+    return ranked.filter(F.col("rk") <= k)
+
+
+def anchor_topk_sql(edges_sql: str, k: int) -> str:
+    """DuckDB twin of :func:`anchor_topk` (``edges_sql`` yields
+    (dst, anchor))."""
+    return f"""
+    SELECT dst, anchor, n, rk, total_inlinks FROM (
+      SELECT dst, anchor, n,
+             row_number() OVER (PARTITION BY dst ORDER BY n DESC, anchor) AS rk,
+             CAST(SUM(n) OVER (PARTITION BY dst) AS BIGINT) AS total_inlinks
+      FROM (
+        SELECT dst, anchor, count(*) AS n
+        FROM ({edges_sql}) GROUP BY dst, anchor
+      )
+    ) WHERE rk <= {k}
+    """

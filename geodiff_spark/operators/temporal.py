@@ -259,3 +259,62 @@ def interval_join_sql(
         [f"p.{c} AS {c}" for c in probe_cols] + [f"i.{c} AS {c}" for c in interval_cols]
     )
     return f"SELECT {sel} FROM ({probe_src}) p JOIN ({interval_src}) i ON {on}"
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort-retention matrix: users are cohorted by the ISO
+    week of their first event; for every (cohort_week, week_offset)
+    cell, count how many of that cohort's users were active
+    ``week_offset`` weeks after their first week. The staple
+    longitudinal rollup over activity/crawl event logs.
+
+    Scale shape: ONE shuffle on the user key does all the per-user
+    work — groupBy(user).agg(collect_set(week)) folds a user's whole
+    history into its distinct active-week set with map-side partial
+    sets (bounded: #distinct weeks per user is tiny vs #events), the
+    cohort week is array_min of that set (no window, no join back to a
+    first-seen dimension), and exploding the set emits at most one row
+    per user per matrix cell — so the final count(*) per
+    (cohort, offset) IS the exact distinct-user count without a
+    countDistinct expand. Offsets are exact integer day arithmetic
+    (datediff/7), never float.
+    """
+    week = F.date_trunc("week", F.col(ts_col))
+    sets = (
+        events.select(F.col(user_col).alias("u"), week.alias("wk"))
+        .groupBy("u")
+        .agg(F.collect_set("wk").alias("wks"))
+    )
+    cells = sets.select(
+        F.array_min("wks").alias("cohort_week"),
+        F.explode("wks").alias("wk"),
+    ).select(
+        "cohort_week",
+        (F.datediff(F.col("wk").cast("date"), F.col("cohort_week").cast("date")) / 7)
+        .cast("long")
+        .alias("week_offset"),
+    )
+    return cells.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+def cohort_retention_sql(events_sql: str) -> str:
+    """DuckDB twin of :func:`cohort_retention` (``events_sql`` yields
+    (user_id, ts))."""
+    return f"""
+    SELECT cohort_week, week_offset, count(*) AS n_users FROM (
+      SELECT u,
+             MIN(wk) OVER (PARTITION BY u) AS cohort_week,
+             CAST(date_diff('day', MIN(wk) OVER (PARTITION BY u), wk) // 7 AS BIGINT)
+               AS week_offset
+      FROM (
+        SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS wk
+        FROM ({events_sql})
+      )
+    ) GROUP BY 1, 2
+    """

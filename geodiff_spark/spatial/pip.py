@@ -137,3 +137,42 @@ def pip_join(
 
     cand = pts.join(polys, pts["_pcell"] == polys["cell"], "inner").drop("_pcell", "cell")
     return cand.filter(pip_udf(F.col(lat_col), F.col(lon_col), F.col(ring_col)))
+
+
+def zonal_stats(
+    points: DataFrame,
+    zones: DataFrame,
+    aggs: list,
+    *,
+    zone_id_col: str = "tile_id",
+    ring_col: str = "ring",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    res: int = 7,
+) -> DataFrame:
+    """Zonal statistics: aggregate the point measures falling inside
+    each zone polygon — the raster-analysis staple (mean elevation per
+    watershed; here: per-tile rollups of page/point attributes), and
+    the spatial dual of :func:`geodiff_spark.spatial.tiles.rasterize`
+    (which aggregates per CELL; this aggregates per POLYGON).
+
+    ``aggs`` is a list of already-aliased aggregate Columns (keep them
+    order-independent — counts, integer sums, min/max — for
+    engine-exact parity; float SUM is order-dependent by nature).
+
+    Scale shape: the zone side is exploded to covering cells and
+    BROADCAST (zones are small — admin boundaries, tile schemes), so
+    the point side reaches the PIP refine without any shuffle; the
+    only Exchange in the plan is the final groupBy(zone) with map-side
+    partial aggregation. Points falling in no zone are dropped (inner
+    semantics), matching rasterize over an area of interest.
+    """
+    assigned = pip_join(
+        points,
+        zones.select(zone_id_col, ring_col),
+        ring_col=ring_col,
+        lat_col=lat_col,
+        lon_col=lon_col,
+        res=res,
+    )
+    return assigned.groupBy(zone_id_col).agg(*aggs)
