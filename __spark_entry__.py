@@ -2636,6 +2636,155 @@ def _zonal_stats_sql():
     """
 
 
+
+# ---------------------------------------------------------------------------
+# round-3 batch 3: cell-cover compaction, funnel, grid-DBSCAN
+# ---------------------------------------------------------------------------
+
+_CPT_RES, _CPT_MIN = 6, 3
+
+
+def _tile_cover(spark, sf_dir):
+    from geodiff_spark.spatial.compact import rect_cover
+
+    return rect_cover(
+        _tiles(spark, sf_dir), res=_CPT_RES, keep_cols=("tile_id",)
+    )
+
+
+_TILE_RECTS_SQL = (
+    f"SELECT r_regionkey AS tile_id, {_TILE_X0} AS x0, {_TILE_Y0} AS y0, "
+    f"{_TILE_X0} + CAST({_TILE_W} AS DOUBLE) AS x1, "
+    f"{_TILE_Y0} + CAST({_TILE_H} AS DOUBLE) AS y1 FROM region"
+)
+
+
+def _tile_cover_sql():
+    from geodiff_spark.spatial.compact import rect_cover_sql
+
+    return rect_cover_sql(_TILE_RECTS_SQL, res=_CPT_RES, keep=("tile_id",))
+
+
+def q_cell_compact(spark, sf_dir):
+    """H3-style compact: per-tile rect cell cover at res 6 reduced to
+    the minimal mixed-resolution set (complete sibling groups promoted
+    recursively down to res 3). One groupBy(parent)-shuffle per level
+    over a >=4x-shrinking set; the cover itself is a zero-shuffle
+    literal-sequence explode."""
+    from geodiff_spark.spatial.compact import compact_cells
+
+    comp = compact_cells(
+        _tile_cover(spark, sf_dir),
+        res=_CPT_RES,
+        min_res=_CPT_MIN,
+        group_cols=("tile_id",),
+    )
+    from geodiff_spark.spatial.cells import RES_SHIFT
+
+    return comp.select(
+        "tile_id",
+        "cell",
+        F.shiftright(F.col("cell"), RES_SHIFT).bitwiseAND(F.lit(31))
+        .cast("int")
+        .alias("cell_res"),
+    )
+
+
+def _cell_compact_sql():
+    from geodiff_spark.spatial.cells import RES_SHIFT
+    from geodiff_spark.spatial.compact import compact_sql
+
+    comp = compact_sql(_tile_cover_sql(), _CPT_RES, _CPT_MIN, ("tile_id",))
+    return (
+        f"SELECT tile_id, cell, CAST((cell >> {RES_SHIFT}) & 31 AS INT) AS cell_res"
+        f" FROM ({comp})"
+    )
+
+
+def q_compact_roundtrip(spark, sf_dir):
+    """uncompact(compact(cover)) == cover — the H3 invariant, graded
+    against an INDEPENDENT oracle (the plain rect cover restated in
+    SQL, never run through compaction). Uncompact is a zero-shuffle
+    morton-prefix-append explode."""
+    from geodiff_spark.spatial.compact import compact_cells, uncompact_cells
+
+    comp = compact_cells(
+        _tile_cover(spark, sf_dir),
+        res=_CPT_RES,
+        min_res=_CPT_MIN,
+        group_cols=("tile_id",),
+    )
+    return uncompact_cells(comp, res=_CPT_RES, keep_cols=("tile_id",))
+
+
+_FUNNEL_STEPS = ["signup", "click", "purchase"]
+
+
+def q_funnel_steps(spark, sf_dir):
+    """Ordered signup->click->purchase funnel over events: stage i must
+    complete STRICTLY after stage i-1 (min qualifying ts). ONE
+    user-keyed shuffle — sorted-array fold, no per-stage join chain."""
+    from geodiff_spark.operators.temporal import funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(ev, _FUNNEL_STEPS)
+
+
+def _funnel_steps_sql():
+    from geodiff_spark.operators.temporal import funnel_sql
+
+    return funnel_sql(
+        "SELECT user_id, ts, event_type FROM events", _FUNNEL_STEPS
+    )
+
+
+_DB_EPS, _DB_MINPTS, _DB_RES = 0.8, 13, 7
+
+# clustered point cloud for density clustering: 12 blob centers on an
+# integer grid, +-1.5 deg jitter lattice — all integer-derived f64, so
+# Spark and DuckDB compute bit-identical coordinates (the uniform
+# customer lattice has min pairwise distance ~5.6 deg: no density
+# structure to cluster)
+_BLOB_LAT = "(((c_custkey % 12) * 23) % 120 - 60 + ((c_custkey * 7919) % 300) / CAST(100.0 AS DOUBLE) - CAST(1.5 AS DOUBLE))"
+_BLOB_LON = "(((c_custkey % 12) * 61) % 300 - 150 + ((c_custkey * 104729) % 300) / CAST(100.0 AS DOUBLE) - CAST(1.5 AS DOUBLE))"
+
+
+def _customers_blobs(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey")
+        .withColumn("lat", F.expr(_BLOB_LAT))
+        .withColumn("lon", F.expr(_BLOB_LON))
+    )
+
+
+def q_dbscan_clusters(spark, sf_dir):
+    """Grid-DBSCAN over the customer points: cell-ring candidate pairs
+    (one equi-join, no pair dedup needed), exact eps refine, cores by
+    degree, clusters = connected components over core-core edges
+    (min-id labels), borders to the min neighboring core's cluster."""
+    from geodiff_spark.spatial.dbscan import dbscan
+
+    return dbscan(
+        _customers_blobs(spark, sf_dir),
+        eps=_DB_EPS,
+        min_pts=_DB_MINPTS,
+        res=_DB_RES,
+        id_col="c_custkey",
+    )
+
+
+def _dbscan_clusters_sql():
+    from geodiff_spark.spatial.dbscan import dbscan_sql
+
+    return dbscan_sql(
+        f"SELECT c_custkey, {_BLOB_LAT} AS lat, {_BLOB_LON} AS lon FROM customer",
+        eps=_DB_EPS,
+        min_pts=_DB_MINPTS,
+        id_col="c_custkey",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "diff_changeset": q_diff_changeset,
@@ -2712,6 +2861,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_chunks": q_boilerplate_chunks,
         "quality_gate": q_quality_gate,
         "zonal_stats": q_zonal_stats,
+        "cell_compact": q_cell_compact,
+        "compact_roundtrip": q_compact_roundtrip,
+        "funnel_steps": q_funnel_steps,
+        "dbscan_clusters": q_dbscan_clusters,
     }
 
 
@@ -2794,4 +2947,8 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_chunks": _boilerplate_chunks_sql(),
         "quality_gate": _quality_gate_sql(),
         "zonal_stats": _zonal_stats_sql(),
+        "cell_compact": _cell_compact_sql(),
+        "compact_roundtrip": _tile_cover_sql(),
+        "funnel_steps": _funnel_steps_sql(),
+        "dbscan_clusters": _dbscan_clusters_sql(),
     }

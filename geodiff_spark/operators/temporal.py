@@ -318,3 +318,97 @@ def cohort_retention_sql(events_sql: str) -> str:
       )
     ) GROUP BY 1, 2
     """
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    step_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: how far through the step sequence
+    ``steps`` (e.g. signup → click → purchase) each user progressed,
+    where each stage must occur STRICTLY after the previous stage's
+    completion time. Stage i's completion time is the MINIMUM
+    qualifying timestamp (the standard funnel semantics, equal to the
+    chained ``min(ts) WHERE ts > prev`` closed form the oracle states).
+
+    Returns (uid, stages_reached, reached_us): stages_reached ∈
+    [0, len(steps)], reached_us = integer-microsecond time the last
+    reached stage completed (NULL at stage 0).
+
+    Scale shape: ONE shuffle on the user key — per-user step events
+    fold into a sorted array and a single `aggregate()` pass advances
+    a (stage, ts) accumulator; no per-stage join chain (len(steps)
+    shuffles) and no window cascade. The array is bounded by the
+    user's STEP-event count (irrelevant event types are filtered
+    before the shuffle), the usual per-entity bound sessionize already
+    relies on. Pure JVM exprs — no UDF.
+    """
+    idx = F.when(F.col(step_col) == steps[0], F.lit(0))
+    for i, s in enumerate(steps[1:], start=1):
+        idx = idx.when(F.col(step_col) == s, F.lit(i))
+    ev = events.filter(F.col(step_col).isin(steps)).select(
+        F.col(user_col).alias("uid"),
+        _micros(F.col(ts_col)).alias("us"),
+        idx.cast("int").alias("idx"),
+    )
+    arr = ev.groupBy("uid").agg(
+        F.sort_array(F.collect_list(F.struct("us", "idx"))).alias("evs")
+    )
+    zero = F.struct(
+        F.lit(0).cast("int").alias("stage"),
+        F.lit(None).cast("long").alias("us"),
+    )
+    folded = F.aggregate(
+        "evs",
+        zero,
+        lambda a, e: F.when(
+            (e.idx == a.stage) & ((a.stage == F.lit(0)) | (e.us > a.us)),
+            F.struct((a.stage + F.lit(1)).alias("stage"), e.us.alias("us")),
+        ).otherwise(a),
+    )
+    return arr.select(
+        "uid",
+        folded.stage.alias("stages_reached"),
+        folded.us.alias("reached_us"),
+    )
+
+
+def funnel_sql(
+    events_sql: str,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    step_col: str = "event_type",
+) -> str:
+    """DuckDB twin of :func:`funnel` in the chained closed form:
+    t_0 = min ts of step 0; t_i = min ts of step i with ts > t_{i-1}."""
+    in_list = ", ".join(f"'{s}'" for s in steps)
+    idx = "CASE " + " ".join(
+        f"WHEN {step_col} = '{s}' THEN {i}" for i, s in enumerate(steps)
+    ) + " END"
+    ctes = [
+        f"s AS (SELECT {user_col} AS u, epoch_us({ts_col}) AS us, {idx} AS idx"
+        f" FROM ({events_sql}) WHERE {step_col} IN ({in_list}))",
+        "t0 AS (SELECT u, min(us) AS r FROM s WHERE idx = 0 GROUP BY u)",
+    ]
+    for i in range(1, len(steps)):
+        ctes.append(
+            f"t{i} AS (SELECT s.u, min(s.us) AS r FROM s"
+            f" JOIN t{i - 1} p ON s.u = p.u AND s.us > p.r"
+            f" WHERE s.idx = {i} GROUP BY s.u)"
+        )
+    n = len(steps)
+    stage = "CASE " + " ".join(
+        f"WHEN t{i}.r IS NOT NULL THEN {i + 1}" for i in range(n - 1, -1, -1)
+    ) + " ELSE 0 END"
+    reached = "coalesce(" + ", ".join(f"t{i}.r" for i in range(n - 1, -1, -1)) + ")"
+    joins = " ".join(f"LEFT JOIN t{i} ON users.u = t{i}.u" for i in range(n))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f",\nusers AS (SELECT DISTINCT u FROM s)\n"
+        + f"SELECT users.u AS uid, CAST({stage} AS INT) AS stages_reached, "
+        + f"CAST({reached} AS BIGINT) AS reached_us FROM users {joins}"
+    )

@@ -1,0 +1,174 @@
+"""Round-3 batch-3 operators: cell-set compaction, funnel analysis,
+grid-DBSCAN. Graded oracle parity lives in test_entry_oracle.py; these
+cover the edge cases the sf0.01 replay can't isolate."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from geodiff_spark.spatial.cells import MODE_BIT, RES_SHIFT
+from geodiff_spark.spatial.compact import compact_cells, uncompact_cells
+from geodiff_spark.spatial.dbscan import dbscan
+from geodiff_spark.operators.temporal import funnel
+
+
+def _cell(x: int, y: int, res: int) -> int:
+    def spread(v):
+        m = 0
+        for i in range(26):
+            m |= ((v >> i) & 1) << (2 * i)
+        return m
+
+    return MODE_BIT | (res << RES_SHIFT) | spread(x) | (spread(y) << 1)
+
+
+def test_compact_incomplete_group_never_promoted(spark):
+    # 3 of 4 siblings -> stays at res 3
+    cells = [(_cell(x, 0, 3),) for x in (0, 1)] + [(_cell(0, 1, 3),)]
+    df = spark.createDataFrame(cells, "cell long")
+    out = compact_cells(df, res=3, min_res=0).collect()
+    assert sorted(r.cell for r in out) == sorted(c for (c,) in cells)
+
+
+def test_compact_duplicates_dont_fake_full_groups(spark):
+    # the SAME sibling twice + one other must not count as 4
+    cells = [(_cell(0, 0, 3),)] * 3 + [(_cell(1, 0, 3),)]
+    df = spark.createDataFrame(cells, "cell long")
+    out = sorted(r.cell for r in compact_cells(df, res=3, min_res=0).collect())
+    assert out == sorted({_cell(0, 0, 3), _cell(1, 0, 3)})
+
+
+def test_compact_cascades_to_min_res_floor(spark):
+    # a full 4x4 block at res 2 = the whole res-0 world, but min_res=1
+    # must stop the cascade at res 1 (4 cells), not res 0
+    df = spark.createDataFrame(
+        [(_cell(x, y, 2),) for x in range(4) for y in range(4)], "cell long"
+    )
+    out = [r.cell for r in compact_cells(df, res=2, min_res=1).collect()]
+    assert sorted(out) == sorted(_cell(x, y, 1) for x in range(2) for y in range(2))
+
+
+def test_compact_groups_isolated(spark):
+    # tile A has the full sibling group, tile B only half of it
+    full = [(0, _cell(x, y, 3)) for x in (0, 1) for y in (0, 1)]
+    half = [(1, _cell(0, 0, 3)), (1, _cell(1, 0, 3))]
+    df = spark.createDataFrame(full + half, "tile_id int, cell long")
+    out = compact_cells(df, res=3, min_res=0, group_cols=("tile_id",)).collect()
+    a = sorted(r.cell for r in out if r.tile_id == 0)
+    b = sorted(r.cell for r in out if r.tile_id == 1)
+    assert a == [_cell(0, 0, 2)]
+    assert b == sorted(c for _, c in half)
+
+
+def test_uncompact_mixed_resolutions(spark):
+    df = spark.createDataFrame(
+        [(_cell(0, 0, 1),), (_cell(2, 3, 3),)], "cell long"
+    )
+    out = sorted(r.cell for r in uncompact_cells(df, res=3).collect())
+    want = [_cell(x, y, 3) for x in range(4) for y in range(4)] + [_cell(2, 3, 3)]
+    assert out == sorted(want)
+
+
+def _funnel_map(spark, rows):
+    ev = spark.createDataFrame(rows, "user_id long, ts string, event_type string")
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return {
+        r.uid: (r.stages_reached, r.reached_us)
+        for r in funnel(ev, ["a", "b", "c"]).collect()
+    }
+
+
+def test_funnel_strict_order_and_ties(spark):
+    got = _funnel_map(
+        spark,
+        [
+            # u1: b BEFORE a never counts; b at ts == t1 never counts
+            (1, "2024-01-01 00:00:00", "b"),
+            (1, "2024-01-01 00:00:05", "a"),
+            (1, "2024-01-01 00:00:05", "b"),
+            (1, "2024-01-01 00:00:09", "b"),
+            (1, "2024-01-01 00:00:09", "c"),  # same ts as stage-2: rejected
+            # u2: full funnel
+            (2, "2024-01-01 00:00:01", "a"),
+            (2, "2024-01-01 00:00:02", "b"),
+            (2, "2024-01-01 00:00:03", "c"),
+            # u3: only mid-funnel events -> stage 0, NULL ts
+            (3, "2024-01-01 00:00:01", "b"),
+            (3, "2024-01-01 00:00:02", "c"),
+        ],
+    )
+    t = lambda s: int(s * 1_000_000)
+    base = 1704067200  # 2024-01-01 UTC
+    assert got[1] == (2, t(base + 9))
+    assert got[2] == (3, t(base + 3))
+    assert got[3] == (0, None)
+
+
+def test_funnel_takes_min_qualifying_ts_not_last(spark):
+    got = _funnel_map(
+        spark,
+        [
+            (7, "2024-01-01 00:00:01", "a"),
+            (7, "2024-01-01 00:00:02", "b"),
+            (7, "2024-01-01 00:00:50", "b"),  # later b must not displace
+            (7, "2024-01-01 00:00:10", "c"),  # qualifies vs the FIRST b
+        ],
+    )
+    assert got[7][0] == 3
+    assert got[7][1] == (1704067200 + 10) * 1_000_000
+
+
+def _db(spark, pts, eps, min_pts):
+    df = spark.createDataFrame(pts, "pid long, lat double, lon double")
+    return {
+        r.pid: (r.component, r.is_core)
+        for r in dbscan(
+            df, eps=eps, min_pts=min_pts, res=7, id_col="pid"
+        ).collect()
+    }
+
+
+def test_dbscan_two_clusters_border_noise(spark):
+    pts = [
+        # cluster A: 3 mutual neighbors (min_pts=3 incl. self -> core)
+        (1, 0.0, 0.0),
+        (2, 0.0, 0.3),
+        (3, 0.3, 0.0),
+        # border: within eps of core 2 only (d²=.90), own degree 2 < 3
+        (4, 0.3, 1.2),
+        # noise: isolated
+        (9, 50.0, 50.0),
+        # cluster B across the grid
+        (10, 20.0, 20.0),
+        (11, 20.0, 20.4),
+        (12, 20.4, 20.0),
+    ]
+    got = _db(spark, pts, eps=1.0, min_pts=3)
+    assert got[1] == (1, True) and got[2] == (1, True) and got[3] == (1, True)
+    assert got[4] == (1, False)  # border inherits A
+    assert 9 not in got  # noise dropped
+    assert got[10] == (10, True) and got[11] == (10, True) and got[12] == (10, True)
+
+
+def test_dbscan_border_tie_resolves_to_min_component(spark):
+    # two 4-cliques; the tie point reaches exactly ONE core of each
+    # (degree 3 < min_pts=4, so it stays border) and takes the min
+    pts = [
+        (1, 0.0, 0.0), (2, 0.0, 0.2), (3, 0.2, 0.0), (4, -0.2, 0.0),
+        (21, 0.0, 2.3), (22, 0.0, 2.1), (23, 0.2, 2.3), (24, -0.2, 2.3),
+        (50, 0.0, 1.15),  # eps-reaches only cores 2 (d²=.9025) and 22
+    ]
+    got = _db(spark, pts, eps=1.0, min_pts=4)
+    assert {got[i] for i in (1, 2, 3, 4)} == {(1, True)}
+    assert {got[i] for i in (21, 22, 23, 24)} == {(21, True)}
+    assert got[50] == (1, False)
+
+
+def test_dbscan_lon_wraparound_cells_dont_crash(spark):
+    # points straddling the antimeridian: ring wraps, distance refine
+    # is planar-degree so the pair is NOT merged (documented metric)
+    pts = [(1, 0.0, 179.9), (2, 0.0, -179.9), (3, 0.1, 179.9), (4, 0.1, -179.9)]
+    got = _db(spark, pts, eps=1.0, min_pts=2)
+    comps = {got[1][0], got[2][0]}
+    assert len(comps) == 2  # two separate pairs, no wrap merge
