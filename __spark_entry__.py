@@ -2785,6 +2785,106 @@ def _dbscan_clusters_sql():
     )
 
 
+
+# ---------------------------------------------------------------------------
+# round-3 batch 4: triangle counting, focal raster stats, phrase search
+# ---------------------------------------------------------------------------
+
+_TRI_OFFS = (1, 2, 3)
+
+
+def q_triangle_counts(spark, sf_dir):
+    """Per-node triangle participation over a circulant doc link graph
+    (i ~ i+1,i+2,i+3 mod n): degree-oriented wedge join closes each
+    triangle exactly once with O(sqrt(m)) out-degree bound — no
+    all-pairs, 3 bounded shuffles."""
+    from geodiff_spark.operators.graph import triangle_counts
+
+    d = _spread_docs(spark, sf_dir)
+    n_docs = d.count()
+    edges = None
+    for o in _TRI_OFFS:
+        e = d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") + o) % n_docs).alias("dst"),
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    return triangle_counts(edges)
+
+
+def _triangle_counts_sql():
+    from geodiff_spark.operators.graph import triangle_counts_sql
+
+    edges = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id + {o}) % (SELECT count(*) FROM documents)"
+        " AS dst FROM documents"
+        for o in _TRI_OFFS
+    )
+    return triangle_counts_sql(edges)
+
+
+_FOCAL_RES = 6
+
+
+def q_focal_mean(spark, sf_dir):
+    """Focal (3x3-ring) raster statistics over the customer-point
+    density raster: per present cell, the sum+count of neighboring
+    cell values — scatter-to-ring explode (zero shuffle) + ONE
+    groupBy(cell) fold with map-side partials."""
+    from geodiff_spark.spatial.tiles import focal_stats
+
+    pts = _customers_geo(spark, sf_dir)
+    from geodiff_spark.spatial.cells import cell_expr
+
+    raster = (
+        pts.withColumn("cell", cell_expr(F.col("lat"), F.col("lon"), _FOCAL_RES))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("value"))
+    )
+    return focal_stats(raster, k=1)
+
+
+def _focal_mean_sql():
+    from geodiff_spark.spatial.cells import xy_sql, _spread_sql, MODE_BIT, RES_SHIFT
+
+    n = 1 << _FOCAL_RES
+    x, y = xy_sql(_LAT, _LON, _FOCAL_RES)
+    head = MODE_BIT | (_FOCAL_RES << RES_SHIFT)
+    return f"""
+    WITH r AS (
+      SELECT {x} AS x, {y} AS y, count(*) AS value
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT ({head} | {_spread_sql('a.x')} | ({_spread_sql('a.y')} << 1)) AS cell,
+           a.value,
+           CAST(SUM(b.value) AS BIGINT) AS focal_sum,
+           count(*) AS focal_n
+    FROM r a JOIN r b
+      ON ((a.x - b.x) % {n} + {n}) % {n} IN (0, 1, {n - 1})
+     AND abs(a.y - b.y) <= 1
+    GROUP BY a.x, a.y, a.value
+    """
+
+
+_PHRASE = ["slow", "hash", "batch"]
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact consecutive-phrase search with occurrence counts: a pure
+    JVM array-lambda scan, ZERO shuffle (positional step up from BM25;
+    the postings-index variant composes from inverted_index for
+    repeated-query workloads)."""
+    from geodiff_spark.operators.retrieval import phrase_occurrences
+
+    return phrase_occurrences(_spread_docs(spark, sf_dir), _PHRASE, "doc_id", "text")
+
+
+def _phrase_search_sql():
+    from geodiff_spark.operators.retrieval import phrase_occurrences_sql
+
+    return phrase_occurrences_sql("documents", _PHRASE, "doc_id", "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "diff_changeset": q_diff_changeset,
@@ -2865,6 +2965,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_roundtrip": q_compact_roundtrip,
         "funnel_steps": q_funnel_steps,
         "dbscan_clusters": q_dbscan_clusters,
+        "triangle_counts": q_triangle_counts,
+        "focal_mean": q_focal_mean,
+        "phrase_search": q_phrase_search,
     }
 
 
@@ -2951,4 +3054,7 @@ def oracle_sql() -> dict[str, str]:
         "compact_roundtrip": _tile_cover_sql(),
         "funnel_steps": _funnel_steps_sql(),
         "dbscan_clusters": _dbscan_clusters_sql(),
+        "triangle_counts": _triangle_counts_sql(),
+        "focal_mean": _focal_mean_sql(),
+        "phrase_search": _phrase_search_sql(),
     }

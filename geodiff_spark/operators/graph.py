@@ -165,3 +165,91 @@ def anchor_topk_sql(edges_sql: str, k: int) -> str:
       )
     ) WHERE rk <= {k}
     """
+
+
+def triangle_counts(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph
+    (self-loops and duplicate/reversed edges tolerated — canonicalized
+    first). The clustering-coefficient numerator: the standard web-graph
+    signal for link-farm/community detection at crawl scale.
+
+    Scale shape — degree orientation (the MapReduce-classic): orient
+    every edge from its lower (degree, id) endpoint to the higher, so
+    every node's OUT-degree is O(sqrt(m)) regardless of skew (a
+    celebrity node's 10^8 in-links become in-edges; it emits almost no
+    wedges). Wedges = one self-join of the oriented list on the source;
+    each triangle is then closed by ONE semi-join probe of its single
+    remaining oriented edge and counted exactly once. Shuffles: degree
+    (1), wedge join (1, on the wedge pivot), closure join (1, on the
+    closing edge) — no all-pairs anywhere; wedge volume is
+    sum(outdeg^2) <= m^1.5.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient by (degree, id): a -> b iff (d_a, a) < (d_b, b)
+    ed = (
+        e.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    w1 = oriented.select(F.col("a").alias("p"), F.col("b").alias("x"))
+    w2 = oriented.select(F.col("a").alias("p"), F.col("b").alias("y"))
+    wedges = w1.join(w2, "p").filter(F.col("x") < F.col("y"))
+    # close the wedge: the edge between x and y is oriented one fixed
+    # way, but which way depends on degrees — probe both as the pair
+    # (min, max) against the canonical UNDIRECTED list (one semi-join)
+    tri = wedges.join(
+        e.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ["x", "y"],
+        "left_semi",
+    )
+    corners = (
+        tri.select(F.col("p").alias("node"))
+        .unionAll(tri.select(F.col("x").alias("node")))
+        .unionAll(tri.select(F.col("y").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def triangle_counts_sql(edges_sql: str) -> str:
+    """DuckDB twin of :func:`triangle_counts` in the canonical a<b<c
+    enumeration (``edges_sql`` yields (src, dst))."""
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM ({edges_sql}) WHERE src <> dst
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    corners AS (
+      SELECT a AS node FROM tri UNION ALL
+      SELECT b FROM tri UNION ALL
+      SELECT c FROM tri
+    )
+    SELECT node, count(*) AS n_triangles FROM corners GROUP BY node
+    """

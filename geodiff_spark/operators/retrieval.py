@@ -430,3 +430,64 @@ def exact_quantiles_sql(
       {picks}
     FROM cum GROUP BY grp
     """
+
+
+def phrase_occurrences(
+    df: DataFrame,
+    phrase: list[str],
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Exact phrase search: docs containing the consecutive token
+    sequence ``phrase``, with the occurrence count — the positional
+    step up from bag-of-words BM25/inverted-index retrieval.
+
+    Scale shape: ZERO shuffle — per-doc token arrays are scanned by a
+    pure JVM lambda (size(filter(starts, p -> tokens match))) inside
+    the projection; a phrase query is a narrow map over the corpus with
+    the filter fully pushed to the parquet scan. (For repeated-phrase
+    workloads, the same counting composes over the positional postings
+    of :func:`inverted_index` — filter to the phrase's terms, regroup,
+    intersect shifted position sets; that trades one shuffle for not
+    rescanning text.)
+    """
+    from ..functions.text import tokens_expr
+
+    n = len(phrase)
+    toks = tokens_expr(F.col(text_col))
+    starts = F.when(
+        F.size(toks) >= n,
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+
+    def hit(p):
+        c = None
+        for j, w in enumerate(phrase):
+            e = F.element_at(toks, p + F.lit(j)) == w
+            c = e if c is None else c & e
+        return c
+
+    cnt = F.size(F.filter(starts, hit)).cast("long")
+    return (
+        df.select(F.col(id_col), cnt.alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+    )
+
+
+def phrase_occurrences_sql(
+    table: str, phrase: list[str], id_col: str, text_col: str
+) -> str:
+    """DuckDB twin of :func:`phrase_occurrences` (1-based list index)."""
+    from ..functions.text import tokens_sql
+
+    n = len(phrase)
+    conds = " AND ".join(
+        f"t[p + {j}] = '{w}'" for j, w in enumerate(phrase)
+    )
+    return f"""
+    SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_matches FROM (
+      SELECT {id_col}, unnest(range(1, greatest(len(t) - {n - 1}, 0) + 1)) AS p, t
+      FROM (SELECT {id_col}, {tokens_sql(text_col)} AS t FROM {table})
+    ) WHERE {conds}
+    GROUP BY {id_col}
+    """

@@ -180,3 +180,38 @@ def vector_to_raster(features: DataFrame, *, res: int, tile_res: int) -> DataFra
     return exploded.withColumn("tile", parent_udf(F.col("cell"), tile_res)).select(
         "tile", "cell"
     )
+
+
+def focal_stats(
+    raster: DataFrame,
+    *,
+    k: int = 1,
+    cell_col: str = "cell",
+    value_col: str = "value",
+) -> DataFrame:
+    """Focal (neighborhood) statistics over a sparse raster — the map-
+    algebra smoothing/aggregation primitive (focal mean elevation, k-
+    ring density): for every PRESENT cell, the sum and count of values
+    over the present cells in its Chebyshev-``k`` ring (incl. itself).
+
+    Emits (cell, value, focal_sum, focal_n); the mean is the caller's
+    exact ratio (sum and count stay integers/exact for bit parity).
+
+    Scale shape: each cell SCATTERS its value to its (2k+1)² ring in a
+    zero-shuffle explode (array_distinct handles pole-clamp duplicate
+    neighbors), then ONE groupBy(cell) shuffle with map-side partial
+    sums folds contributions; the inner join back to the present-cell
+    set rides the same hash partitioning. Ring membership is symmetric
+    (lon wraps mod n on both sides; lat clamp only shrinks the ring at
+    the pole rows), so scatter-to-ring == gather-from-ring exactly.
+    """
+    from .cells import kring_udf
+
+    contrib = raster.select(
+        F.explode(F.array_distinct(kring_udf(F.col(cell_col), k))).alias(cell_col),
+        F.col(value_col).alias("_v"),
+    )
+    folded = contrib.groupBy(cell_col).agg(
+        F.sum("_v").alias("focal_sum"), F.count(F.lit(1)).alias("focal_n")
+    )
+    return raster.select(cell_col, value_col).join(folded, cell_col, "inner")

@@ -172,3 +172,86 @@ def test_dbscan_lon_wraparound_cells_dont_crash(spark):
     got = _db(spark, pts, eps=1.0, min_pts=2)
     comps = {got[1][0], got[2][0]}
     assert len(comps) == 2  # two separate pairs, no wrap merge
+
+
+from geodiff_spark.operators.graph import triangle_counts
+from geodiff_spark.operators.retrieval import phrase_occurrences
+from geodiff_spark.spatial.tiles import focal_stats
+
+
+def _tri(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+
+
+def test_triangle_counts_k4_with_noise_edges(spark):
+    # K4: every node sits in 3 triangles; self-loops, duplicates and
+    # reversed edges must not change the count
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noisy = k4 + [(b, a) for a, b in k4] + [(2, 2), (0, 1), (1, 0)]
+    assert _tri(spark, noisy) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_star_has_none(spark):
+    # hub with 5 leaves: wedges exist at the hub but never close
+    assert _tri(spark, [(0, i) for i in range(1, 6)]) == {}
+
+
+def test_triangle_counts_two_sharing_an_edge(spark):
+    # triangles (0,1,2) and (1,2,3) share edge (1,2)
+    got = _tri(spark, [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)])
+    assert got == {0: 1, 1: 2, 2: 2, 3: 1}
+
+
+def test_focal_stats_wrap_and_clamp(spark):
+    # res-2 grid (4x4): (0,0) and (3,0) are lon-wrap neighbors; y
+    # clamps at the bottom row (ring shrinks, no phantom cells)
+    raster = [
+        (_cell(0, 0, 2), 10),
+        (_cell(3, 0, 2), 5),
+        (_cell(1, 2, 2), 7),  # isolated: no cell within chebyshev-1
+    ]
+    df = spark.createDataFrame(raster, "cell long, value long")
+    got = {r.cell: (r.focal_sum, r.focal_n) for r in focal_stats(df, k=1).collect()}
+    assert got[_cell(0, 0, 2)] == (15, 2)  # self + wrap neighbor
+    assert got[_cell(3, 0, 2)] == (15, 2)
+    assert got[_cell(1, 2, 2)] == (7, 1)  # just itself
+
+
+def test_focal_stats_k2_reach(spark):
+    raster = [(_cell(0, 0, 3), 1), (_cell(2, 0, 3), 100)]
+    df = spark.createDataFrame(raster, "cell long, value long")
+    k1 = {r.cell: r.focal_sum for r in focal_stats(df, k=1).collect()}
+    k2 = {r.cell: r.focal_sum for r in focal_stats(df, k=2).collect()}
+    assert k1[_cell(0, 0, 3)] == 1 and k2[_cell(0, 0, 3)] == 101
+
+
+def _phrases(spark, rows, phrase):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        r.doc_id: r.n_matches
+        for r in phrase_occurrences(df, phrase, "doc_id", "text").collect()
+    }
+
+
+def test_phrase_overlapping_and_case(spark):
+    got = _phrases(
+        spark,
+        [
+            (1, "a a a a"),        # overlapping: 3 matches of "a a"
+            (2, "A  a"),           # lowercased + multi-space: 1
+            (3, "a"),              # shorter than the phrase: dropped
+            (4, "b a b a"),        # no consecutive "a a"
+        ],
+        ["a", "a"],
+    )
+    assert got == {1: 3, 2: 1}
+
+
+def test_phrase_trigram_exact_positions(spark):
+    got = _phrases(
+        spark,
+        [(1, "x slow hash batch y slow hash batch"), (2, "slow hash x batch")],
+        ["slow", "hash", "batch"],
+    )
+    assert got == {1: 2}
