@@ -2885,6 +2885,29 @@ def _phrase_search_sql():
     return phrase_occurrences_sql("documents", _PHRASE, "doc_id", "text")
 
 
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): score every document
+    by the integer-scaled target/source bigram likelihood ratio sum,
+    target = the English sub-corpus. Two vocab-sized LMs + one probe
+    join over the bigram stream — nothing corpus x corpus."""
+    from geodiff_spark.operators.lm import dsir_weights
+
+    d = _spread_docs(spark, sf_dir)
+    return dsir_weights(d, d.filter(F.col("lang") == "en"), "doc_id", "text")
+
+
+def _dsir_weights_sql():
+    from geodiff_spark.operators.lm import dsir_weights_sql
+
+    return dsir_weights_sql(
+        "SELECT doc_id, text FROM documents",
+        "SELECT doc_id, text FROM documents WHERE lang = 'en'",
+        "doc_id",
+        "text",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "diff_changeset": q_diff_changeset,
@@ -2968,6 +2991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": q_triangle_counts,
         "focal_mean": q_focal_mean,
         "phrase_search": q_phrase_search,
+        "dsir_weights": q_dsir_weights,
     }
 
 
@@ -3057,4 +3081,5 @@ def oracle_sql() -> dict[str, str]:
         "triangle_counts": _triangle_counts_sql(),
         "focal_mean": _focal_mean_sql(),
         "phrase_search": _phrase_search_sql(),
+        "dsir_weights": _dsir_weights_sql(),
     }

@@ -367,6 +367,10 @@ def run_suite() -> None:
         "curation_pipeline", "pack_sequences", "repeated_spans", "link_rank",
         "domain_minhash", "bigram_logprob", "fluency_buckets",
         "kmeans_embed", "ann_ivf_trained", "warc_roundtrip",
+        "anchor_texts", "cohort_retention", "boilerplate_chunks",
+        "quality_gate", "zonal_stats", "cell_compact", "funnel_steps",
+        "dbscan_clusters", "triangle_counts", "focal_mean",
+        "phrase_search", "dsir_weights",
     ]
     qs = E.queries()
     # warmup at the smallest sf: codegen/JIT caches, python worker pool,

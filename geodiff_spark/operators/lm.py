@@ -191,3 +191,129 @@ def fluency_buckets_sql(
            ) AS INT) AS bucket
     FROM f
     """
+
+
+def dsir_weights(
+    source: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling" —
+    public method): score every SOURCE document by how much more likely
+    its bigrams are under the TARGET corpus' bigram LM than under the
+    source's own. High-weight docs look like the target distribution
+    (the published recipe for selecting e.g. Wikipedia-like text out of
+    Common Crawl).
+
+    Integer-exact transcription of the likelihood ratio (the repo's
+    oracle discipline, same pattern as :func:`bigram_lm_scores`):
+
+      p̂(w2|w1)    = ((c12 + 1) * scale) div (c1 + V)   (Laplace, per LM)
+      ratio        = (p̂_target * scale) div max(p̂_source, 1)
+      weight_sum   = Σ ratio over the doc's bigram occurrences
+
+    so the graded output is pure BIGINT (order/partitioning-invariant);
+    the DSIR log-product form ln Π ratio ≈ Σ ln(ratio/scale) is a
+    driver-side presentation step, exactly like the HLL ln()
+    correction. V = |distinct w2 across both corpora| (the shared
+    smoothing support). ``scale`` bounds relative floor error at
+    1/scale per bigram; (c12+1)*scale must stay < 2^63 (10^12 bigrams
+    at the default 10^6 leaves 10x headroom).
+
+    -> (id, n_bigrams, weight_sum_scaled)
+
+    Scale shape (10^12 source docs, small target — the DSIR setting):
+    both LMs are one map-side-combining groupBy each (model size is
+    |vocab²|, NOT corpus-sized; the target model is typically tiny);
+    the probe is the source bigram stream joined to the two models on
+    (w1, w2) / (w1) — hot function-word bigrams are the classic skew
+    keys, handled by AQE skew-join; V is a 1-row broadcast. No step
+    touches corpus × corpus.
+    """
+    bg_s = bigram_rows(source, id_col, text_col)
+    bg_t = bigram_rows(target, id_col, text_col)
+
+    def model(bg):
+        c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+        c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+        return c12, c1
+
+    c12_s, c1_s = model(bg_s)
+    c12_t, c1_t = model(bg_t)
+    vocab = (
+        c12_s.select("w2")
+        .unionByName(c12_t.select("w2"))
+        .agg(F.count_distinct("w2").alias("V"))
+    )
+    probe = (
+        bg_s.join(c12_s, ["w1", "w2"])
+        .join(c1_s, "w1")
+        .join(c12_t.withColumnRenamed("c12", "c12t"), ["w1", "w2"], "left")
+        .join(c1_t.withColumnRenamed("c1", "c1t"), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"CAST((coalesce(c12t, 0) + 1) * {scale} DIV (coalesce(c1t, 0) + V) AS BIGINT)"
+            ).alias("_pt"),
+            F.expr(
+                f"GREATEST(CAST((c12 + 1) * {scale} DIV (c1 + V) AS BIGINT), CAST(1 AS BIGINT))"
+            ).alias("_ps"),
+        )
+    )
+    return probe.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(F.expr(f"CAST(_pt * {scale} DIV _ps AS BIGINT)")).alias(
+            "weight_sum_scaled"
+        ),
+    )
+
+
+def dsir_weights_sql(
+    source_sql: str,
+    target_sql: str,
+    id_col: str,
+    text_col: str,
+    *,
+    scale: int = DEFAULT_SCALE,
+) -> str:
+    """DuckDB twin of :func:`dsir_weights` (same double floor-div)."""
+    t = tokens_sql(text_col)
+
+    def bg(src, name):
+        return f"""{name} AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT {id_col} AS doc_id, {t} AS t, unnest(generate_series(1, len({t}) - 1)) AS i
+            FROM ({src}) WHERE len({t}) >= 2)
+    )"""
+
+    return f"""
+    WITH {bg(source_sql, 'bgs')}, {bg(target_sql, 'bgt')},
+    c12s AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bgs GROUP BY w1, w2),
+    c1s AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12s GROUP BY w1),
+    c12t AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12t FROM bgt GROUP BY w1, w2),
+    c1t AS (SELECT w1, CAST(SUM(c12t) AS BIGINT) AS c1t FROM c12t GROUP BY w1),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS V
+      FROM (SELECT w2 FROM c12s UNION ALL SELECT w2 FROM c12t)
+    ),
+    probe AS (
+      SELECT bgs.doc_id,
+             CAST((coalesce(c12t.c12t, 0) + 1) * {scale} // (coalesce(c1t.c1t, 0) + vocab.V) AS BIGINT) AS pt,
+             GREATEST(CAST((c12s.c12 + 1) * {scale} // (c1s.c1 + vocab.V) AS BIGINT), CAST(1 AS BIGINT)) AS ps
+      FROM bgs
+      JOIN c12s ON bgs.w1 = c12s.w1 AND bgs.w2 = c12s.w2
+      JOIN c1s ON bgs.w1 = c1s.w1
+      LEFT JOIN c12t ON bgs.w1 = c12t.w1 AND bgs.w2 = c12t.w2
+      LEFT JOIN c1t ON bgs.w1 = c1t.w1
+      CROSS JOIN vocab
+    )
+    SELECT doc_id AS {id_col},
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(pt * {scale} // ps AS BIGINT)) AS BIGINT) AS weight_sum_scaled
+    FROM probe GROUP BY doc_id
+    """

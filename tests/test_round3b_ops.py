@@ -255,3 +255,35 @@ def test_phrase_trigram_exact_positions(spark):
         ["slow", "hash", "batch"],
     )
     assert got == {1: 2}
+
+
+from geodiff_spark.operators.lm import dsir_weights
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    # target corpus speaks "x y"; doc 1 mimics it, doc 2 doesn't
+    src = spark.createDataFrame(
+        [(1, "x y x y x y"), (2, "a b a b a b"), (3, "x y a b")],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame(
+        [(100, "x y x y x y x y")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.weight_sum_scaled)
+        for r in dsir_weights(src, tgt, "doc_id", "text").collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1][0] == 5 and got[2][0] == 5
+    # per-bigram avg ratio strictly ordered: pure-target > mixed > off-target
+    avg = {k: v[1] / v[0] for k, v in got.items()}
+    assert avg[1] > avg[3] > avg[2]
+
+
+def test_dsir_weights_docs_without_bigrams_emit_no_row(spark):
+    src = spark.createDataFrame(
+        [(1, "only"), (2, ""), (3, "two tokens")], "doc_id long, text string"
+    )
+    tgt = spark.createDataFrame([(9, "two tokens")], "doc_id long, text string")
+    got = dsir_weights(src, tgt, "doc_id", "text").collect()
+    assert {r.doc_id for r in got} == {3}
