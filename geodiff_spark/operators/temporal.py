@@ -412,3 +412,53 @@ def funnel_sql(
         + f"SELECT users.u AS uid, CAST({stage} AS INT) AS stages_reached, "
         + f"CAST({reached} AS BIGINT) AS reached_us FROM users {joins}"
     )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    *,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Trailing-window distinct-user counts per day (the DAU/WAU/MAU
+    family): for every calendar day D with at least one active user in
+    (D-window_days, D], the EXACT number of distinct users active in
+    that trailing window.
+
+    Scale shape: the per-(user, day) distinct relation is one shuffle
+    and is tiny vs the event stream (bounded by users × active days);
+    each active day then SCATTERS to the ``window_days`` target days it
+    contributes to (bounded literal fan-out — a date-range join would
+    be the quadratic trap), a second distinct collapses multi-active
+    users per target window, and the final count per day is exact with
+    map-side partials — no countDistinct expansion over raw events,
+    never O(events × window).
+    """
+    day = F.to_date(F.col(ts_col))
+    daily = events.select(F.col(user_col).alias("u"), day.alias("d")).distinct()
+    contrib = daily.select(
+        "u",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), window_days - 1))
+        ).alias("day"),
+    ).distinct()
+    return contrib.groupBy("day").agg(F.count(F.lit(1)).alias("active_users"))
+
+
+def rolling_active_users_sql(
+    events_sql: str,
+    *,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin of :func:`rolling_active_users`."""
+    return f"""
+    SELECT day, count(*) AS active_users FROM (
+      SELECT DISTINCT u, CAST(d + INTERVAL (i) DAY AS DATE) AS day FROM (
+        SELECT DISTINCT {user_col} AS u, CAST({ts_col} AS DATE) AS d
+        FROM ({events_sql})
+      ), unnest(range(0, {window_days})) AS t(i)
+    ) GROUP BY day
+    """

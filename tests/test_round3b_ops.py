@@ -287,3 +287,120 @@ def test_dsir_weights_docs_without_bigrams_emit_no_row(spark):
     tgt = spark.createDataFrame([(9, "two tokens")], "doc_id long, text string")
     got = dsir_weights(src, tgt, "doc_id", "text").collect()
     assert {r.doc_id for r in got} == {3}
+
+
+def test_streaming_hll_registers_equal_batch(spark, tmp_path):
+    import shutil
+
+    from geodiff_spark.operators.sketch import M57, hll_sketch
+    from geodiff_spark.streaming.sketch import hll_stream
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(f"{sf}/events.parquet", src / "part-0.parquet")
+    q = (
+        hll_stream(
+            spark.readStream.schema(ev.schema).parquet(str(src)),
+            ["event_type"],
+            F.col("user_id") % M57,
+            window="1 hour",
+            p=6,
+        )
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_stream_hll")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (str(r.start), r.event_type, r.reg): r.max_rho
+        for r in spark.table("t_stream_hll")
+        .select(F.col("window.start").alias("start"), "event_type", "reg", "max_rho")
+        .collect()
+    }
+    batch = ev.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+        "hour", F.date_trunc("hour", F.col("ts"))
+    )
+    want = {
+        (str(r.hour), r.event_type, r.reg): r.max_rho
+        for r in hll_sketch(
+            batch, ["hour", "event_type"], F.col("user_id") % M57, p=6
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_rolling_active_users_window_edges(spark):
+    from geodiff_spark.operators.temporal import rolling_active_users
+
+    ev = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 10:00:00"),
+            ("u1", "2024-01-01 11:00:00"),  # same user+day: once
+            ("u2", "2024-01-08 10:00:00"),  # 7 days later: u1 aged out
+        ],
+        "user_id string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        str(r.day): r.active_users
+        for r in rolling_active_users(ev, window_days=7).collect()
+    }
+    assert got["2024-01-01"] == 1
+    assert got["2024-01-07"] == 1  # u1 still inside (D-6..D]
+    assert got["2024-01-08"] == 1  # only u2: u1's last activity aged out
+    assert got["2024-01-14"] == 1  # u2's last covered day
+    assert "2024-01-15" not in got
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_funnel_plan_single_exchange(spark):
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "a")], "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    plan = _plan(funnel(ev, ["a", "b"]))
+    assert plan.count("Exchange") == 1  # ONE user-key shuffle, no joins
+    assert "Join" not in plan
+
+
+def test_anchor_topk_plan_two_exchanges_no_join(spark):
+    from geodiff_spark.operators.graph import anchor_topk
+
+    edges = spark.createDataFrame([(1, "x")], "dst long, anchor string")
+    plan = _plan(anchor_topk(edges, 2))
+    # collapse shuffle + ONE window partitioning (rank and total share it)
+    assert plan.count("Exchange") == 2
+    assert "Join" not in plan
+
+
+def test_rolling_active_plan_no_join(spark):
+    from geodiff_spark.operators.temporal import rolling_active_users
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "user_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    plan = _plan(rolling_active_users(ev))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_phrase_search_plan_zero_shuffle(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    plan = _plan(phrase_occurrences(docs, ["a", "b"], "doc_id", "text"))
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_focal_stats_plan_one_aggregate_exchange(spark):
+    raster = spark.createDataFrame([(_cell(0, 0, 2), 1)], "cell long, value long")
+    plan = _plan(focal_stats(raster, k=1))
+    # scatter explode is shuffle-free; fold is one Exchange; the join
+    # back to the present-cell set rides the same partitioning (AQE may
+    # broadcast the tiny side here — accept either, but never cartesian)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 3
