@@ -2989,6 +2989,40 @@ def _rolling_active_sql():
     )
 
 
+
+_KCORE_K = 3
+
+
+def q_k_core(spark, sf_dir):
+    """k-core of a synthetic link graph with a peelable tail: a ring
+    path (degree 2 — peeled at k=3) plus every-5th-node chords whose
+    endpoints survive once the tail strips away. Iterative peeling:
+    degree groupBy + edge semi-join per round, edge set monotonically
+    shrinking, lineage truncated per round."""
+    from geodiff_spark.operators.graph import k_core
+
+    d = _spread_docs(spark, sf_dir)
+    n_docs = d.count()
+    ids = d.select(F.col("doc_id").alias("i"))
+    ring = ids.select(F.col("i").alias("src"), ((F.col("i") + 1) % n_docs).alias("dst"))
+    chords = ids.filter(F.col("i") % 5 == 0)
+    c1 = chords.select(F.col("i").alias("src"), ((F.col("i") + 5) % n_docs).alias("dst"))
+    c2 = chords.select(F.col("i").alias("src"), ((F.col("i") + 10) % n_docs).alias("dst"))
+    return k_core(ring.unionByName(c1).unionByName(c2), _KCORE_K)
+
+
+def _k_core_sql():
+    from geodiff_spark.operators.graph import k_core_sql
+
+    n = "(SELECT count(*) FROM documents)"
+    edges = (
+        f"SELECT doc_id AS src, (doc_id + 1) % {n} AS dst FROM documents"
+        f" UNION ALL SELECT doc_id, (doc_id + 5) % {n} FROM documents WHERE doc_id % 5 = 0"
+        f" UNION ALL SELECT doc_id, (doc_id + 10) % {n} FROM documents WHERE doc_id % 5 = 0"
+    )
+    return k_core_sql(edges, _KCORE_K, unroll=12)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "diff_changeset": q_diff_changeset,
@@ -3075,6 +3109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "streaming_hll": q_streaming_hll,
         "rolling_active": q_rolling_active,
+        "k_core": q_k_core,
     }
 
 
@@ -3167,4 +3202,5 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": _dsir_weights_sql(),
         "streaming_hll": _streaming_hll_sql(),
         "rolling_active": _rolling_active_sql(),
+        "k_core": _k_core_sql(),
     }

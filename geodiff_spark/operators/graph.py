@@ -253,3 +253,98 @@ def triangle_counts_sql(edges_sql: str) -> str:
     )
     SELECT node, count(*) AS n_triangles FROM corners GROUP BY node
     """
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph where
+    every node has degree >= k — the standard web/link-graph density
+    primitive (spam-farm and community cores; the peel that remains
+    after pruning the long tail). Returns (node, core_deg) with each
+    surviving node's degree INSIDE the core.
+
+    Scale shape — iterative peeling, the distributed classic: each
+    round is one map-side-combining degree groupBy + one semi-join of
+    the edge list against the surviving-node set (broadcast once the
+    peel shrinks it; AQE decides). The edge set shrinks monotonically;
+    rounds = the peel depth (O(log n) on power-law link graphs, where
+    each round strips a degree shell). Per-round localCheckpoint
+    truncates lineage exactly like connected_components; convergence
+    is detected with one scalar count per round.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = e.count()
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        alive = deg.filter(F.col("d") >= k).select("n")
+        e2 = (
+            e.join(alive.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(alive.withColumnRenamed("n", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        n2 = e2.count()
+        if n2 == n_edges:
+            break
+        e, n_edges = e2, n2
+    else:
+        raise RuntimeError(f"k_core: no fixpoint in {max_iter} rounds")
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+    )
+    # at the fixpoint every remaining node has degree >= k by
+    # construction; an isolated-node core is impossible for k >= 1
+    return deg
+
+
+def k_core_sql(edges_sql: str, k: int, unroll: int = 12) -> str:
+    """DuckDB twin of :func:`k_core`, peeling unrolled ``unroll``
+    rounds (like the k-means/pagerank oracle unrolls iterations —
+    correct whenever the peel converges within the unroll budget, which
+    the Spark side enforces via its fixpoint loop)."""
+    # AS MATERIALIZED: each peel round references the previous round's
+    # edge set three times — without materialization DuckDB inlines the
+    # CTE chain into 3^unroll scans of the base table
+    ctes = [
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,"
+        f" greatest(src, dst) AS v FROM ({edges_sql}) WHERE src <> dst)"
+    ]
+    for i in range(1, unroll + 1):
+        p = i - 1
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT n, count(*) AS d FROM ("
+            f"SELECT u AS n FROM e{p} UNION ALL SELECT v FROM e{p}) GROUP BY n)"
+        )
+        ctes.append(f"a{i} AS MATERIALIZED (SELECT n FROM d{i} WHERE d >= {k})")
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT u, v FROM e{p}"
+            f" WHERE u IN (SELECT n FROM a{i}) AND v IN (SELECT n FROM a{i}))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT n AS node, CAST(count(*) AS BIGINT) AS core_deg FROM ("
+        + f"SELECT u AS n FROM e{unroll} UNION ALL SELECT v FROM e{unroll})"
+        + " GROUP BY n"
+    )

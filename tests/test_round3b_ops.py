@@ -404,3 +404,74 @@ def test_focal_stats_plan_one_aggregate_exchange(spark):
     # broadcast the tiny side here — accept either, but never cartesian)
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 3
+
+
+from geodiff_spark.operators.graph import k_core
+
+
+def _kc(spark, edges, k):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r.node: r.core_deg for r in k_core(df, k).collect()}
+
+
+def test_k_core_lollipop_cascade(spark):
+    # cycle 0-1-2-3-0 with a pendant path 3-4-5-6: the path peels one
+    # node per round (degree-1 tip each time) — a true multi-round
+    # cascade; the cycle survives k=2 with in-core degree 2
+    cyc = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    path = [(3, 4), (4, 5), (5, 6)]
+    got = _kc(spark, cyc + path, 2)
+    assert got == {0: 2, 1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_above_max_degree_is_empty(spark):
+    assert _kc(spark, [(0, 1), (1, 2), (2, 0)], 3) == {}
+
+
+def test_k_core_noise_edges_canonicalized(spark):
+    tri = [(0, 1), (1, 2), (2, 0)]
+    noisy = tri + [(1, 0), (2, 2), (0, 1)]
+    assert _kc(spark, noisy, 2) == {0: 2, 1: 2, 2: 2}
+
+
+def test_k_core_matches_python_peeling_batch(spark):
+    import random
+
+    def py_k_core(edges, k):
+        e = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        while True:
+            deg = {}
+            for a, b in e:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            alive = {n for n, d in deg.items() if d >= k}
+            e2 = {(a, b) for a, b in e if a in alive and b in alive}
+            if e2 == e:
+                break
+            e = e2
+        deg = {}
+        for a, b in e:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        return deg
+
+    rng = random.Random(405)
+    all_edges, want = [], {}
+    for case in range(25):
+        n = rng.randint(4, 10)
+        base = case * 1000
+        edges = [
+            (a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if rng.random() < 0.4
+        ]
+        for a, b in edges:
+            all_edges.append((base + a, base + b))
+        for node, d in py_k_core(edges, 2).items():
+            want[base + node] = d
+    if not all_edges:
+        return
+    df = spark.createDataFrame(all_edges, "src long, dst long")
+    got = {r.node: r.core_deg for r in k_core(df, 2).collect()}
+    assert got == want
