@@ -3023,6 +3023,24 @@ def _k_core_sql():
     return k_core_sql(edges, _KCORE_K, unroll=12)
 
 
+
+def q_trimmed_stats(spark, sf_dir):
+    """Robust per-language doc-length statistics: 10%-trimmed exact
+    aggregation (rank-based cut, deterministic under ties; integer
+    kept_sum — the trimmed mean is the caller's exact ratio). ONE
+    group-key Exchange shared by rank, size, and the final fold."""
+    from geodiff_spark.operators.corpus import trimmed_agg
+
+    d = _spread_docs(spark, sf_dir)
+    return trimmed_agg(d, "lang", "n_chars", "doc_id", 1, 10)
+
+
+def _trimmed_stats_sql():
+    from geodiff_spark.operators.corpus import trimmed_agg_sql
+
+    return trimmed_agg_sql("documents", "lang", "n_chars", "doc_id", 1, 10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "diff_changeset": q_diff_changeset,
@@ -3110,6 +3128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hll": q_streaming_hll,
         "rolling_active": q_rolling_active,
         "k_core": q_k_core,
+        "trimmed_stats": q_trimmed_stats,
     }
 
 
@@ -3203,4 +3222,5 @@ def oracle_sql() -> dict[str, str]:
         "streaming_hll": _streaming_hll_sql(),
         "rolling_active": _rolling_active_sql(),
         "k_core": _k_core_sql(),
+        "trimmed_stats": _trimmed_stats_sql(),
     }

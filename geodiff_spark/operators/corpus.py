@@ -419,3 +419,77 @@ def adaptive_quality_gate(
     )
     cutoff = F.ceil(F.col("n_group") * keep_frac_num / keep_frac_den)
     return ranked.filter(F.col("rk") <= cutoff)
+
+
+def trimmed_agg(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    trim_num: int = 1,
+    trim_den: int = 10,
+) -> DataFrame:
+    """Exact per-group trimmed aggregation (the robust-statistics
+    staple for corpus QA dashboards: mean doc length / score per
+    language with the tails cut): within every group drop the lowest
+    and highest floor(n * trim_num / trim_den) values by rank, then
+    aggregate the kept middle EXACTLY — output is (group, n_total,
+    n_kept, kept_sum) with the trimmed mean left to the caller as
+    kept_sum / n_kept (the repo's integer-exact discipline; a float
+    mean would be order-dependent).
+
+    Rank-based, like adaptive_quality_gate: row_number over
+    (value, id) makes the cut deterministic under ties, and the
+    integer floor bound is engine-exact — no quantile interpolation.
+
+    Scale shape: ONE shuffle on the group key; the rank and the group
+    size are window ops over the SAME Exchange, and the final groupBy
+    folds on the partitioning already in place. Group count is tiny vs
+    rows at corpus scale (languages, sources), so the Exchange is the
+    whole cost — same as any groupBy.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col)
+    ranked = df.select(
+        F.col(group_col),
+        F.col(value_col),
+        F.row_number()
+        .over(w.orderBy(F.asc(value_col), F.asc(id_col)))
+        .alias("rk"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    t = F.expr(f"(n * {trim_num}) DIV {trim_den}")
+    kept = ranked.filter((F.col("rk") > t) & (F.col("rk") <= F.col("n") - t))
+    return kept.groupBy(group_col).agg(
+        F.max("n").alias("n_total"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(value_col).alias("kept_sum"),
+    )
+
+
+def trimmed_agg_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    trim_num: int = 1,
+    trim_den: int = 10,
+) -> str:
+    """DuckDB twin of :func:`trimmed_agg`."""
+    return f"""
+    SELECT {group_col},
+           CAST(MAX(n) AS BIGINT) AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM({value_col}) AS BIGINT) AS kept_sum
+    FROM (
+      SELECT {group_col}, {value_col},
+             row_number() OVER (PARTITION BY {group_col}
+                                ORDER BY {value_col}, {id_col}) AS rk,
+             count(*) OVER (PARTITION BY {group_col}) AS n
+      FROM {table}
+    )
+    WHERE rk > n * {trim_num} // {trim_den}
+      AND rk <= n - n * {trim_num} // {trim_den}
+    GROUP BY {group_col}
+    """

@@ -475,3 +475,35 @@ def test_k_core_matches_python_peeling_batch(spark):
     df = spark.createDataFrame(all_edges, "src long, dst long")
     got = {r.node: r.core_deg for r in k_core(df, 2).collect()}
     assert got == want
+
+
+def test_trimmed_agg_cuts_and_ties(spark):
+    from geodiff_spark.operators.corpus import trimmed_agg
+
+    # group g: values 1..10 -> trim 10% = 1 off each end -> keep 2..9
+    rows = [("g", v, v) for v in range(1, 11)]
+    # group t: 3 rows, trim floor(3/10)=0 -> keep all; ties broken by id
+    rows += [("t", 5, 1), ("t", 5, 2), ("t", 9, 3)]
+    df = spark.createDataFrame(rows, "lang string, v long, doc_id long")
+    got = {
+        r.lang: (r.n_total, r.n_kept, r.kept_sum)
+        for r in trimmed_agg(df, "lang", "v", "doc_id", 1, 10).collect()
+    }
+    assert got["g"] == (10, 8, sum(range(2, 10)))
+    assert got["t"] == (3, 3, 19)
+
+
+def test_trimmed_agg_heavy_trim_can_empty_group(spark):
+    from geodiff_spark.operators.corpus import trimmed_agg
+
+    # trim 1/2 from each end of a 2-row group -> nothing kept, no row
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 100, 2), ("b", 1, 1), ("b", 2, 2), ("b", 300, 3)],
+        "lang string, v long, doc_id long",
+    )
+    got = {
+        r.lang: (r.n_kept, r.kept_sum)
+        for r in trimmed_agg(df, "lang", "v", "doc_id", 1, 2).collect()
+    }
+    assert "a" not in got  # 2 - 2*1 = 0 kept
+    assert got["b"] == (1, 2)  # keeps only the median
