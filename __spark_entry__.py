@@ -3041,6 +3041,28 @@ def _trimmed_stats_sql():
     return trimmed_agg_sql("documents", "lang", "n_chars", "doc_id", 1, 10)
 
 
+
+def q_activity_streaks(spark, sf_dir):
+    """Gaps-and-islands: maximal consecutive-active-day streaks per
+    user via the integer day-minus-rank island key — no self-join, no
+    recursion; ONE user-key shuffle shared by distinct, rank, fold."""
+    from geodiff_spark.operators.temporal import activity_streaks
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = activity_streaks(ev)
+    return out.select(
+        "uid",
+        F.col("streak_start").cast("timestamp_ntz").alias("streak_start"),
+        "streak_days",
+    )
+
+
+def _activity_streaks_sql():
+    from geodiff_spark.operators.temporal import activity_streaks_sql
+
+    return activity_streaks_sql("SELECT user_id, ts FROM events")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "diff_changeset": q_diff_changeset,
@@ -3129,6 +3151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_active": q_rolling_active,
         "k_core": q_k_core,
         "trimmed_stats": q_trimmed_stats,
+        "activity_streaks": q_activity_streaks,
     }
 
 
@@ -3223,4 +3246,5 @@ def oracle_sql() -> dict[str, str]:
         "rolling_active": _rolling_active_sql(),
         "k_core": _k_core_sql(),
         "trimmed_stats": _trimmed_stats_sql(),
+        "activity_streaks": _activity_streaks_sql(),
     }

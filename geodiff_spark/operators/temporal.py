@@ -462,3 +462,63 @@ def rolling_active_users_sql(
       ), unnest(range(0, {window_days})) AS t(i)
     ) GROUP BY day
     """
+
+
+def activity_streaks(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active calendar
+    days per user (the retention/engagement streak metric). Returns one
+    row per streak: (user, streak_start, streak_days).
+
+    The island key is the classic integer idiom — for each distinct
+    active day, ``day - row_number`` (both integers) is constant
+    exactly within a consecutive run — so no self-join, no recursion,
+    and nothing float. Distinct from sessionize: calendar-day islands,
+    not gap-threshold sessions.
+
+    Scale shape: ONE shuffle on the user key; the distinct, the window
+    rank, and the island groupBy all fold on that same partitioning
+    (day count per user is bounded, the usual per-entity bound).
+    """
+    from pyspark.sql.window import Window
+
+    daily = events.select(
+        F.col(user_col).alias("uid"),
+        F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01")).alias("d"),
+    ).distinct()
+    w = Window.partitionBy("uid").orderBy("d")
+    isl = daily.withColumn("island", F.col("d") - F.row_number().over(w))
+    return isl.groupBy("uid", "island").agg(
+        F.date_add(F.lit("1970-01-01"), F.min("d").cast("int")).alias(
+            "streak_start"
+        ),
+        F.count(F.lit(1)).alias("streak_days"),
+    ).drop("island")
+
+
+def activity_streaks_sql(
+    events_sql: str,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin of :func:`activity_streaks`."""
+    return f"""
+    SELECT uid,
+           CAST(DATE '1970-01-01' + to_days(CAST(MIN(d) AS INT)) AS TIMESTAMP)
+             AS streak_start,
+           count(*) AS streak_days
+    FROM (
+      SELECT uid, d, d - row_number() OVER (PARTITION BY uid ORDER BY d)
+             AS island
+      FROM (
+        SELECT DISTINCT {user_col} AS uid,
+               date_diff('day', DATE '1970-01-01', CAST({ts_col} AS DATE)) AS d
+        FROM ({events_sql})
+      )
+    ) GROUP BY uid, island
+    """

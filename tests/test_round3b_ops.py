@@ -507,3 +507,28 @@ def test_trimmed_agg_heavy_trim_can_empty_group(spark):
     }
     assert "a" not in got  # 2 - 2*1 = 0 kept
     assert got["b"] == (1, 2)  # keeps only the median
+
+
+def test_activity_streaks_islands_and_gaps(spark):
+    from geodiff_spark.operators.temporal import activity_streaks
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:00:00"),
+            (1, "2024-01-02 23:00:00"),
+            (1, "2024-01-02 01:00:00"),  # same day twice: one island day
+            (1, "2024-01-03 00:00:01"),
+            (1, "2024-01-05 12:00:00"),  # gap -> new streak
+            (2, "2024-02-10 00:00:00"),
+        ],
+        "user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r.uid, str(r.streak_start)): r.streak_days
+        for r in activity_streaks(ev).collect()
+    }
+    assert got == {
+        (1, "2024-01-01"): 3,
+        (1, "2024-01-05"): 1,
+        (2, "2024-02-10"): 1,
+    }
