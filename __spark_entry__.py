@@ -3063,6 +3063,29 @@ def _activity_streaks_sql():
     return activity_streaks_sql("SELECT user_id, ts FROM events")
 
 
+
+def q_pmi_pairs(spark, sf_dir):
+    """PMI collocations over document co-occurrence (Church & Hanks):
+    integer-exact two-step-DIV association ratio; per-doc pair fan-out
+    bounded by the deterministic 20-token cap; zero-shuffle pair
+    explode, vocab-sized counting relations."""
+    from geodiff_spark.operators.lm import pmi_collocations
+
+    return pmi_collocations(
+        _spread_docs(spark, sf_dir), "doc_id", "text",
+        max_tokens_per_doc=20, min_count=3,
+    )
+
+
+def _pmi_pairs_sql():
+    from geodiff_spark.operators.lm import pmi_collocations_sql
+
+    return pmi_collocations_sql(
+        "SELECT doc_id, text FROM documents", "doc_id", "text",
+        max_tokens_per_doc=20, min_count=3,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "diff_changeset": q_diff_changeset,
@@ -3152,6 +3175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core": q_k_core,
         "trimmed_stats": q_trimmed_stats,
         "activity_streaks": q_activity_streaks,
+        "pmi_pairs": q_pmi_pairs,
     }
 
 
@@ -3247,4 +3271,5 @@ def oracle_sql() -> dict[str, str]:
         "k_core": _k_core_sql(),
         "trimmed_stats": _trimmed_stats_sql(),
         "activity_streaks": _activity_streaks_sql(),
+        "pmi_pairs": _pmi_pairs_sql(),
     }

@@ -317,3 +317,126 @@ def dsir_weights_sql(
            CAST(SUM(CAST(pt * {scale} // ps AS BIGINT)) AS BIGINT) AS weight_sum_scaled
     FROM probe GROUP BY doc_id
     """
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_tokens_per_doc: int = 20,
+    min_count: int = 2,
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """Corpus collocation mining by pointwise mutual information over
+    document co-occurrence: token pairs that appear in the same
+    document far more often than their independent document
+    frequencies predict (the classic phrase/entity-association signal;
+    Church & Hanks 1990 — public method).
+
+    Integer-exact transcription of the PMI ratio
+    c12·N / (c1·c2) (the exp of PMI; monotone in it, so ranking and
+    thresholds agree with the log form, which stays driver-side like
+    every ln() in this repo):
+
+        t1         = (c12 * scale) DIV c1          (≤ scale, since c12 ≤ c1)
+        pmi_scaled = (t1 * N) DIV c2
+
+    The two-step division bounds every intermediate by scale·N — at
+    N = 10^12 docs and the default 10^6 scale that is 10^18 < 2^63,
+    where the naive c12·N·scale would overflow at corpus scale.
+
+    Each document contributes its DISTINCT token set, capped
+    deterministically to the ``max_tokens_per_doc`` lexicographically
+    smallest tokens — the cap bounds the per-doc pair fan-out at
+    m(m−1)/2 (the hot-doc quadratic trap, same role as ngram-jaccard's
+    max_shingle_df), and the deterministic rule keeps both engines and
+    every retry identical.
+
+    -> (w1, w2, c12, c1, c2, pmi_scaled) for pairs with c12 >= min_count.
+
+    Scale shape: the pair explode is a zero-shuffle array transform
+    (sorted-distinct slice, nested lambda — pure codegen); c12 and c1
+    are map-side-combining groupBys over vocab-sized relations; the
+    probe joins key on single tokens (w1 / w2 — AQE handles the
+    function-word skew). Nothing is ever corpus × corpus.
+    """
+    toks = tokens_expr(F.col(text_col))
+    arr = F.slice(F.array_sort(F.array_distinct(toks)), 1, max_tokens_per_doc)
+    pairs = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.size(arr)),
+                lambda y: F.struct(x.alias("w1"), y.alias("w2")),
+            ),
+        )
+    )
+    base = df.select(F.col(id_col), arr.alias("_arr"), pairs.alias("_pairs"))
+    n_docs = base.count()
+    c12 = (
+        base.select(F.explode("_pairs").alias("p"))
+        .select(F.col("p.w1"), F.col("p.w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    c1 = (
+        base.select(F.explode("_arr").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    out = (
+        c12.join(c1.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(c1.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+    )
+    return out.select(
+        "w1",
+        "w2",
+        "c12",
+        "c1",
+        "c2",
+        F.expr(
+            f"CAST(((c12 * {scale}) DIV c1) * {n_docs} DIV c2 AS BIGINT)"
+        ).alias("pmi_scaled"),
+    )
+
+
+def pmi_collocations_sql(
+    docs_sql: str,
+    id_col: str,
+    text_col: str,
+    *,
+    max_tokens_per_doc: int = 20,
+    min_count: int = 2,
+    scale: int = DEFAULT_SCALE,
+) -> str:
+    """DuckDB twin of :func:`pmi_collocations` (same two-step DIV)."""
+    t = tokens_sql(text_col)
+    m = max_tokens_per_doc
+    return f"""
+    WITH capped AS MATERIALIZED (
+      SELECT {id_col} AS doc_id,
+             list_slice(list_sort(list_distinct({t})), 1, {m}) AS a
+      FROM ({docs_sql})
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM capped),
+    pairs AS (
+      SELECT doc_id, a[i] AS w1, a[j] AS w2 FROM (
+        SELECT doc_id, a, i, unnest(range(i + 1, len(a) + 1)) AS j
+        FROM (SELECT doc_id, a, unnest(range(1, len(a) + 1)) AS i FROM capped)
+      )
+    ),
+    c12 AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM pairs
+      GROUP BY w1, w2 HAVING count(*) >= {min_count}
+    ),
+    c1 AS (
+      SELECT w AS tok, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(a) AS w, doc_id FROM capped) GROUP BY w
+    )
+    SELECT c12.w1, c12.w2, c12.c12, a.c AS c1, b.c AS c2,
+           CAST(((c12.c12 * {scale}) // a.c) * (SELECT n_docs FROM n) // b.c
+                AS BIGINT) AS pmi_scaled
+    FROM c12 JOIN c1 a ON c12.w1 = a.tok JOIN c1 b ON c12.w2 = b.tok
+    """

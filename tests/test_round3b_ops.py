@@ -532,3 +532,41 @@ def test_activity_streaks_islands_and_gaps(spark):
         (1, "2024-01-05"): 1,
         (2, "2024-02-10"): 1,
     }
+
+
+def test_pmi_collocations_favors_cooccurring_pair(spark):
+    from geodiff_spark.operators.lm import pmi_collocations
+
+    # "x y" always together (4 docs); "a" everywhere (8 docs) so (a, b)
+    # pairs are expected-at-chance; min_count=2
+    rows = [(i, "x y filler%d" % i) for i in range(4)]
+    rows += [(10 + i, "a b other%d" % i) for i in range(4)]
+    rows += [(20 + i, "a c more%d" % i) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.w1, r.w2): (r.c12, r.c1, r.c2, r.pmi_scaled)
+        for r in pmi_collocations(
+            df, "doc_id", "text", max_tokens_per_doc=20, min_count=2
+        ).collect()
+    }
+    # (x, y): c12=4, c1=c2=4, N=12 -> ratio = 4*12/16 = 3.0
+    assert got[("x", "y")] == (4, 4, 4, 3_000_000)
+    # (a, b): c12=4, c1=8, c2=4 -> ratio = 4*12/32 = 1.5
+    assert got[("a", "b")] == (4, 8, 4, 1_500_000)
+    assert got[("x", "y")][3] > got[("a", "b")][3]
+
+
+def test_pmi_token_cap_is_deterministic_lexicographic(spark):
+    from geodiff_spark.operators.lm import pmi_collocations
+
+    # cap=2 keeps the two lexicographically smallest distinct tokens
+    df = spark.createDataFrame(
+        [(1, "z m a q"), (2, "z m a q")], "doc_id long, text string"
+    )
+    got = {
+        (r.w1, r.w2)
+        for r in pmi_collocations(
+            df, "doc_id", "text", max_tokens_per_doc=2, min_count=2
+        ).collect()
+    }
+    assert got == {("a", "m")}
