@@ -3086,6 +3086,40 @@ def _pmi_pairs_sql():
     )
 
 
+
+def q_hop_distances(spark, sf_dir):
+    """Multi-source BFS depth over the synthetic affine link graph
+    (expander-like, small diameter): min hop count from the 3-doc seed
+    set to every reachable doc. Frontier-expansion rounds, two
+    frontier-sized shuffles each, lineage truncated per round."""
+    from geodiff_spark.operators.graph import hop_distances
+
+    d = _spread_docs(spark, sf_dir)
+    n_docs = d.count()
+    ids = d.select(F.col("doc_id").alias("i"))
+    edges = None
+    for a, b in _PR_LINKS:
+        e = ids.select(
+            F.col("i").alias("src"), ((F.col("i") * a + b) % n_docs).alias("dst")
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    seeds = ids.filter(F.col("i") < 3).select(F.col("i").alias("node"))
+    return hop_distances(edges, seeds)
+
+
+def _hop_distances_sql():
+    from geodiff_spark.operators.graph import hop_distances_sql
+
+    n = "(SELECT count(*) FROM documents)"
+    edges = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id * {a} + {b}) % {n} AS dst FROM documents"
+        for a, b in _PR_LINKS
+    )
+    return hop_distances_sql(
+        edges, "SELECT doc_id AS node FROM documents WHERE doc_id < 3"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "diff_changeset": q_diff_changeset,
@@ -3176,6 +3210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_stats": q_trimmed_stats,
         "activity_streaks": q_activity_streaks,
         "pmi_pairs": q_pmi_pairs,
+        "hop_distances": q_hop_distances,
     }
 
 
@@ -3272,4 +3307,5 @@ def oracle_sql() -> dict[str, str]:
         "trimmed_stats": _trimmed_stats_sql(),
         "activity_streaks": _activity_streaks_sql(),
         "pmi_pairs": _pmi_pairs_sql(),
+        "hop_distances": _hop_distances_sql(),
     }

@@ -348,3 +348,83 @@ def k_core_sql(edges_sql: str, k: int, unroll: int = 12) -> str:
         + f"SELECT u AS n FROM e{unroll} UNION ALL SELECT v FROM e{unroll})"
         + " GROUP BY n"
     )
+
+
+def hop_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    max_hops: int = 30,
+) -> DataFrame:
+    """Multi-source BFS over an undirected graph: the minimum hop count
+    from any source to every reachable node (crawl-frontier depth,
+    seed-set distance, link-spam blast radius). Returns (node, dist)
+    with dist = 0 for the sources themselves; unreachable nodes emit no
+    row.
+
+    Scale shape — frontier-expansion BFS, the distributed classic: each
+    round joins the CURRENT frontier (shrinking once the wave passes
+    the graph's bulk) against the edge list, anti-joins the visited
+    set, and unions one new distance shell. Per-round localCheckpoint
+    truncates lineage; termination is an empty frontier (one scalar
+    count per round, same discipline as connected_components / k_core).
+    Rounds = graph diameter, bounded by ``max_hops``; every round is
+    two key shuffles (neighbor join + visited anti-join) on
+    frontier-sized relations, never corpus × corpus.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    adj = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct().localCheckpoint()
+    visited = (
+        sources.select(F.col(node_col).alias("n"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(adj, frontier["n"] == adj["u"])
+            .select(F.col("v").alias("n"))
+            .distinct()
+            .join(visited.select("n"), "n", "left_anti")
+            .withColumn("dist", F.lit(hop).cast("long"))
+            .localCheckpoint()
+        )
+        if nxt.count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    else:
+        raise RuntimeError(f"hop_distances: frontier alive after {max_hops} hops")
+    return visited.select(F.col("n").alias(node_col), "dist")
+
+
+def hop_distances_sql(
+    edges_sql: str,
+    sources_sql: str,
+    node_col: str = "node",
+) -> str:
+    """DuckDB twin of :func:`hop_distances`: recursive min-distance
+    walk (UNION semantics dedupe (n, d) pairs; the outer MIN collapses
+    longer rediscoveries — equal to BFS's first-visit distance)."""
+    return f"""
+    WITH RECURSIVE adj AS MATERIALIZED (
+      SELECT src AS u, dst AS v FROM ({edges_sql}) WHERE src <> dst
+      UNION
+      SELECT dst, src FROM ({edges_sql}) WHERE src <> dst
+    ),
+    walk(n, d) AS (
+      SELECT DISTINCT {node_col}, CAST(0 AS BIGINT) FROM ({sources_sql})
+      UNION
+      SELECT a.v, w.d + 1 FROM walk w JOIN adj a ON a.u = w.n
+      WHERE w.d < 64
+    )
+    SELECT n AS {node_col}, CAST(MIN(d) AS BIGINT) AS dist
+    FROM walk GROUP BY n
+    """

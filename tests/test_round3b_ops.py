@@ -570,3 +570,27 @@ def test_pmi_token_cap_is_deterministic_lexicographic(spark):
         ).collect()
     }
     assert got == {("a", "m")}
+
+
+def test_hop_distances_bfs_semantics(spark):
+    from geodiff_spark.operators.graph import hop_distances
+
+    # path 0-1-2-3 plus shortcut 0-3: BFS dist(3) must be 1, not 3;
+    # node 9 unreachable -> absent
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 3), (8, 9)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.dist for r in hop_distances(edges, seeds).collect()}
+    assert got == {0: 0, 1: 1, 3: 1, 2: 2}
+
+
+def test_hop_distances_multi_source_takes_min(spark):
+    from geodiff_spark.operators.graph import hop_distances
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (4,)], "node long")
+    got = {r.node: r.dist for r in hop_distances(edges, seeds).collect()}
+    assert got == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}
