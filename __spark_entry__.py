@@ -3120,6 +3120,82 @@ def _hop_distances_sql():
     )
 
 
+
+_CJ_RES, _CJ_TILE_RES = 6, 3
+
+_SLAT = "(((s_suppkey * 7919) % 16000) / CAST(100.0 AS DOUBLE) - CAST(80.0 AS DOUBLE) + CAST(0.003 AS DOUBLE))"
+_SLON = "(((s_suppkey * 104729) % 35000) / CAST(100.0 AS DOUBLE) - CAST(175.0 AS DOUBLE) + CAST(0.007 AS DOUBLE))"
+
+
+def q_coverage_jaccard(spark, sf_dir):
+    """Per-tile coverage change between two point sets (the tile-level
+    diff summary a crawl-coverage dashboard shows between snapshots):
+    distinct res-6 cell coverages of the customer vs supplier point
+    clouds, full-outer-joined on cell, rolled up to res-3 tiles as
+    exact (n_a, n_b, n_inter, n_union) — Jaccard is the caller's exact
+    ratio. Scale: two distinct shuffles + one cell-key join + one tile
+    groupBy; coverage relations are cell-bounded, not point-bounded."""
+    from geodiff_spark.spatial.cells import cell_expr
+    from geodiff_spark.spatial.compact import parent_id_expr
+
+    a = (
+        _customers_geo(spark, sf_dir)
+        .select(cell_expr(F.col("lat"), F.col("lon"), _CJ_RES).alias("cell"))
+        .distinct()
+        .withColumn("in_a", F.lit(1))
+    )
+    b = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .select("s_suppkey")
+        .withColumn("lat", F.expr(_SLAT))
+        .withColumn("lon", F.expr(_SLON))
+        .select(cell_expr(F.col("lat"), F.col("lon"), _CJ_RES).alias("cell"))
+        .distinct()
+        .withColumn("in_b", F.lit(1))
+    )
+    j = a.join(b, "cell", "full_outer").select(
+        "cell",
+        F.coalesce(F.col("in_a"), F.lit(0)).alias("in_a"),
+        F.coalesce(F.col("in_b"), F.lit(0)).alias("in_b"),
+    )
+    tile = j.withColumn("_t", F.col("cell"))
+    for r in range(_CJ_RES, _CJ_TILE_RES, -1):
+        tile = tile.withColumn("_t", parent_id_expr(F.col("_t"), r))
+    return tile.groupBy(F.col("_t").alias("tile")).agg(
+        F.sum("in_a").alias("n_a"),
+        F.sum("in_b").alias("n_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_inter"),
+        F.count(F.lit(1)).alias("n_union"),
+    )
+
+
+def _coverage_jaccard_sql():
+    from geodiff_spark.spatial.cells import cell_sql
+    from geodiff_spark.spatial.compact import parent_id_sql
+
+    ca = cell_sql(_LAT, _LON, _CJ_RES)
+    cb = cell_sql(_SLAT, _SLON, _CJ_RES)
+    t = "cell"
+    for r in range(_CJ_RES, _CJ_TILE_RES, -1):
+        t = parent_id_sql(t, r)
+    return f"""
+    WITH a AS (SELECT DISTINCT {ca} AS cell FROM customer),
+    b AS (SELECT DISTINCT {cb} AS cell FROM supplier),
+    j AS (
+      SELECT coalesce(a.cell, b.cell) AS cell,
+             CASE WHEN a.cell IS NULL THEN 0 ELSE 1 END AS in_a,
+             CASE WHEN b.cell IS NULL THEN 0 ELSE 1 END AS in_b
+      FROM a FULL OUTER JOIN b ON a.cell = b.cell
+    )
+    SELECT {t} AS tile,
+           CAST(SUM(in_a) AS BIGINT) AS n_a,
+           CAST(SUM(in_b) AS BIGINT) AS n_b,
+           CAST(SUM(in_a * in_b) AS BIGINT) AS n_inter,
+           count(*) AS n_union
+    FROM j GROUP BY 1
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "diff_changeset": q_diff_changeset,
@@ -3211,6 +3287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_streaks": q_activity_streaks,
         "pmi_pairs": q_pmi_pairs,
         "hop_distances": q_hop_distances,
+        "coverage_jaccard": q_coverage_jaccard,
     }
 
 
@@ -3308,4 +3385,5 @@ def oracle_sql() -> dict[str, str]:
         "activity_streaks": _activity_streaks_sql(),
         "pmi_pairs": _pmi_pairs_sql(),
         "hop_distances": _hop_distances_sql(),
+        "coverage_jaccard": _coverage_jaccard_sql(),
     }
