@@ -3196,6 +3196,25 @@ def _coverage_jaccard_sql():
     """
 
 
+
+def q_top_p_mass(spark, sf_dir):
+    """Nucleus (top-p) selection: per language, the smallest set of
+    docs (by length desc) carrying 80% of the character mass — the
+    mass-based dual of the count-based quality_gate; exact integer
+    cross-multiplied threshold, one group-key Exchange."""
+    from geodiff_spark.operators.corpus import top_p_mass
+
+    return top_p_mass(
+        _spread_docs(spark, sf_dir), "lang", "n_chars", "doc_id", 8, 10
+    )
+
+
+def _top_p_mass_sql():
+    from geodiff_spark.operators.corpus import top_p_mass_sql
+
+    return top_p_mass_sql("documents", "lang", "n_chars", "doc_id", 8, 10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "diff_changeset": q_diff_changeset,
@@ -3288,6 +3307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_pairs": q_pmi_pairs,
         "hop_distances": q_hop_distances,
         "coverage_jaccard": q_coverage_jaccard,
+        "top_p_mass": q_top_p_mass,
     }
 
 
@@ -3386,4 +3406,5 @@ def oracle_sql() -> dict[str, str]:
         "pmi_pairs": _pmi_pairs_sql(),
         "hop_distances": _hop_distances_sql(),
         "coverage_jaccard": _coverage_jaccard_sql(),
+        "top_p_mass": _top_p_mass_sql(),
     }

@@ -493,3 +493,74 @@ def trimmed_agg_sql(
       AND rk <= n - n * {trim_num} // {trim_den}
     GROUP BY {group_col}
     """
+
+
+def top_p_mass(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    id_col: str,
+    p_num: int = 8,
+    p_den: int = 10,
+) -> DataFrame:
+    """Nucleus (top-p) selection per group: keep the smallest prefix of
+    rows — ordered by weight descending — whose cumulative weight
+    reaches the fraction ``p_num/p_den`` of the group total (the
+    mass-based dual of the count-based adaptive_quality_gate; the
+    corpus-sampling rule "keep the domains/docs carrying 80% of the
+    token mass").
+
+    A row is kept iff the cumulative weight BEFORE it is still below
+    p·total — the integer cross-multiplied test
+    (cum − w)·p_den < total·p_num is exact, so the boundary row that
+    crosses the threshold is included and everything after it is not;
+    ties order deterministically by (weight desc, id asc). Output:
+    (group, id, weight, cum_weight) for kept rows.
+
+    Scale shape: ONE shuffle on the group key; the running cumsum and
+    the group total are two windows over the SAME Exchange. Weights
+    must be integers (token counts, byte sizes) — the repo's
+    bit-exactness discipline.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col)
+    wo = w.orderBy(F.desc(weight_col), F.asc(id_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.col(weight_col),
+        F.sum(weight_col).over(wo).alias("cum_weight"),
+        F.sum(weight_col).over(w).alias("_total"),
+    )
+    keep = (
+        (F.col("cum_weight") - F.col(weight_col)) * p_den
+        < F.col("_total") * p_num
+    )
+    return ranked.filter(keep).drop("_total")
+
+
+def top_p_mass_sql(
+    table: str,
+    group_col: str,
+    weight_col: str,
+    id_col: str,
+    p_num: int = 8,
+    p_den: int = 10,
+) -> str:
+    """DuckDB twin of :func:`top_p_mass`."""
+    return f"""
+    SELECT {group_col}, {id_col}, {weight_col},
+           CAST(cum_weight AS BIGINT) AS cum_weight
+    FROM (
+      SELECT {group_col}, {id_col}, {weight_col},
+             SUM({weight_col}) OVER (PARTITION BY {group_col}
+                                     ORDER BY {weight_col} DESC, {id_col}
+                                     ROWS UNBOUNDED PRECEDING) AS cum_weight,
+             SUM({weight_col}) OVER (PARTITION BY {group_col}) AS total
+      FROM {table}
+    )
+    WHERE (cum_weight - {weight_col}) * {p_den} < total * {p_num}
+    """

@@ -594,3 +594,33 @@ def test_hop_distances_multi_source_takes_min(spark):
     seeds = spark.createDataFrame([(0,), (4,)], "node long")
     got = {r.node: r.dist for r in hop_distances(edges, seeds).collect()}
     assert got == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}
+
+
+def test_top_p_mass_boundary_row_included(spark):
+    from geodiff_spark.operators.corpus import top_p_mass
+
+    # weights 50, 30, 15, 5 — 80% of 100 = 80: prefix 50+30=80 reaches
+    # it ONLY with the second row (before it: 50 < 80 keep; before the
+    # third: 80 !< 80 -> cut)
+    df = spark.createDataFrame(
+        [("g", 1, 50), ("g", 2, 30), ("g", 3, 15), ("g", 4, 5)],
+        "lang string, doc_id long, wgt long",
+    )
+    got = {
+        r.doc_id: r.cum_weight
+        for r in top_p_mass(df, "lang", "wgt", "doc_id", 8, 10).collect()
+    }
+    assert got == {1: 50, 2: 80}
+
+
+def test_top_p_mass_ties_deterministic(spark):
+    from geodiff_spark.operators.corpus import top_p_mass
+
+    # equal weights: id ascending breaks ties; p=1/2 of 40 = 20
+    df = spark.createDataFrame(
+        [("g", i, 10) for i in (4, 2, 3, 1)], "lang string, doc_id long, wgt long"
+    )
+    got = sorted(
+        r.doc_id for r in top_p_mass(df, "lang", "wgt", "doc_id", 1, 2).collect()
+    )
+    assert got == [1, 2]
