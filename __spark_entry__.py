@@ -3281,6 +3281,36 @@ def _resumable_ranges_sql():
     """
 
 
+
+def q_spatial_autocorr(spark, sf_dir):
+    """Moran's-I sufficient statistics over the customer density raster
+    (binary ring weights): five exact integers in one row — pair
+    products formed as v_a*(focal_sum_a - v_a), so neighbor pairs are
+    never materialized; the float statistic is driver-side."""
+    from geodiff_spark.spatial.cells import cell_expr
+    from geodiff_spark.spatial.tiles import autocorr_stats
+
+    raster = (
+        _customers_geo(spark, sf_dir)
+        .withColumn("cell", cell_expr(F.col("lat"), F.col("lon"), _FOCAL_RES))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("value"))
+    )
+    return autocorr_stats(raster, k=1)
+
+
+def _spatial_autocorr_sql():
+    focal = _focal_mean_sql()
+    return f"""
+    SELECT count(*) AS n_cells,
+           CAST(SUM(value) AS BIGINT) AS sum_v,
+           CAST(SUM(value * value) AS BIGINT) AS sum_v2,
+           CAST(SUM(focal_n - 1) AS BIGINT) AS n_pairs,
+           CAST(SUM(value * (focal_sum - value)) AS BIGINT) AS sum_products
+    FROM ({focal})
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "diff_changeset": q_diff_changeset,
@@ -3375,6 +3405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage_jaccard": q_coverage_jaccard,
         "top_p_mass": q_top_p_mass,
         "resumable_ranges": q_resumable_ranges,
+        "spatial_autocorr": q_spatial_autocorr,
     }
 
 
@@ -3475,4 +3506,5 @@ def oracle_sql() -> dict[str, str]:
         "coverage_jaccard": _coverage_jaccard_sql(),
         "top_p_mass": _top_p_mass_sql(),
         "resumable_ranges": _resumable_ranges_sql(),
+        "spatial_autocorr": _spatial_autocorr_sql(),
     }

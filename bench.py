@@ -370,7 +370,7 @@ def run_suite() -> None:
         "anchor_texts", "cohort_retention", "boilerplate_chunks",
         "quality_gate", "zonal_stats", "cell_compact", "funnel_steps",
         "dbscan_clusters", "triangle_counts", "focal_mean",
-        "phrase_search", "dsir_weights", "k_core", "rolling_active", "trimmed_stats", "activity_streaks", "pmi_pairs", "hop_distances", "coverage_jaccard", "top_p_mass", "resumable_ranges",
+        "phrase_search", "dsir_weights", "k_core", "rolling_active", "trimmed_stats", "activity_streaks", "pmi_pairs", "hop_distances", "coverage_jaccard", "top_p_mass", "resumable_ranges", "spatial_autocorr",
         "streaming_hll",
     ]
     qs = E.queries()

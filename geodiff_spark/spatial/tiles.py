@@ -215,3 +215,35 @@ def focal_stats(
         F.sum("_v").alias("focal_sum"), F.count(F.lit(1)).alias("focal_n")
     )
     return raster.select(cell_col, value_col).join(folded, cell_col, "inner")
+
+
+def autocorr_stats(
+    raster: DataFrame,
+    *,
+    k: int = 1,
+    cell_col: str = "cell",
+    value_col: str = "value",
+) -> DataFrame:
+    """Sufficient statistics for spatial autocorrelation (Moran's I /
+    Geary's C with binary Chebyshev-``k`` ring weights) over a sparse
+    integer raster, in ONE row: (n_cells, sum_v, sum_v2, n_pairs,
+    sum_products) where pairs are ordered neighbor pairs (a ≠ b, b in
+    ring(a)) and products are exact integer v_a·v_b sums. The float
+    Moran's I assembles driver-side from these five integers — the
+    same exact/presentation split as the HLL estimate.
+
+    Scale shape: reuses the focal scatter — each cell ships (cell_v)
+    to its ring (zero-shuffle explode), ONE groupBy(cell) join against
+    the present set forms the pair products as
+    v_a · (focal_sum_a − v_a), i.e. WITHOUT materializing pairs at
+    all; the global fold is a single scalar aggregation.
+    """
+    f = focal_stats(raster, k=k, cell_col=cell_col, value_col=value_col)
+    v = F.col(value_col)
+    return f.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(v).alias("sum_v"),
+        F.sum(v * v).alias("sum_v2"),
+        F.sum(F.col("focal_n") - 1).alias("n_pairs"),
+        F.sum(v * (F.col("focal_sum") - v)).alias("sum_products"),
+    )

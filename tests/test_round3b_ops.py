@@ -624,3 +624,16 @@ def test_top_p_mass_ties_deterministic(spark):
         r.doc_id for r in top_p_mass(df, "lang", "wgt", "doc_id", 1, 2).collect()
     )
     assert got == [1, 2]
+
+
+def test_autocorr_stats_hand_raster(spark):
+    from geodiff_spark.spatial.tiles import autocorr_stats
+
+    # two adjacent cells (values 2, 3) + one isolated (value 5):
+    # ordered pairs = 2, products sum = 2*3 + 3*2 = 12
+    raster = [(_cell(0, 0, 3), 2), (_cell(1, 0, 3), 3), (_cell(5, 5, 3), 5)]
+    df = spark.createDataFrame(raster, "cell long, value long")
+    r = autocorr_stats(df, k=1).collect()[0]
+    assert (r.n_cells, r.sum_v, r.sum_v2, r.n_pairs, r.sum_products) == (
+        3, 10, 38, 2, 12,
+    )
