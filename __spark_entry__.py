@@ -3311,6 +3311,38 @@ def _spatial_autocorr_sql():
     """
 
 
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event-type
+    sequences: counts + exact integer-division MLE probabilities (one
+    user-key Exchange, then a |states|^2-cardinality rollup)."""
+    from geodiff_spark.operators.temporal import markov_transitions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return markov_transitions(ev, "user_id", "ts", "event_type", "event_id")
+
+
+def _markov_transitions_sql():
+    from geodiff_spark.operators.temporal import markov_transitions_sql
+
+    return markov_transitions_sql("events", "user_id", "ts", "event_type", "event_id")
+
+
+def q_twap(spark, sf_dir):
+    """Time-weighted average sufficient statistics per user (each value
+    held until the user's next event): exact integer (num, den) pair —
+    floats never cross the graded boundary."""
+    from geodiff_spark.operators.temporal import time_weighted_avg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return time_weighted_avg(ev, "user_id", "ts", "value", "event_id")
+
+
+def _twap_sql():
+    from geodiff_spark.operators.temporal import time_weighted_avg_sql
+
+    return time_weighted_avg_sql("events", "user_id", "ts", "value", "event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "diff_changeset": q_diff_changeset,
@@ -3406,6 +3438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_p_mass": q_top_p_mass,
         "resumable_ranges": q_resumable_ranges,
         "spatial_autocorr": q_spatial_autocorr,
+        "markov_transitions": q_markov_transitions,
+        "twap": q_twap,
     }
 
 
@@ -3507,4 +3541,6 @@ def oracle_sql() -> dict[str, str]:
         "top_p_mass": _top_p_mass_sql(),
         "resumable_ranges": _resumable_ranges_sql(),
         "spatial_autocorr": _spatial_autocorr_sql(),
+        "markov_transitions": _markov_transitions_sql(),
+        "twap": _twap_sql(),
     }

