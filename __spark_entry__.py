@@ -3343,6 +3343,60 @@ def _twap_sql():
     return time_weighted_avg_sql("events", "user_id", "ts", "value", "event_id")
 
 
+def q_pareto_docs(spark, sf_dir):
+    """Skyline selection: documents not dominated on (length, quality)
+    — simultaneously long AND high-quality without a hand-tuned scalar
+    weighting. Distributed frontier (collapse per-x + two-phase prefix
+    max), never the quadratic dominance scan the oracle states."""
+    from geodiff_spark.operators.analytics import pareto_frontier
+
+    d = _spread_docs(spark, sf_dir).select(
+        "doc_id",
+        "n_chars",
+        F.floor(TX.quality_expr(F.col("text")) * F.lit(1_000_000))
+        .cast("long")
+        .alias("q_scaled"),
+    )
+    return pareto_frontier(d, "n_chars", "q_scaled")
+
+
+def _pareto_docs_sql():
+    from geodiff_spark.operators.analytics import pareto_frontier_sql
+
+    pts = f"""
+      SELECT doc_id, n_chars,
+             CAST(FLOOR(({TX.quality_sql('text')}) * 1000000) AS BIGINT)
+               AS q_scaled
+      FROM documents
+    """
+    return pareto_frontier_sql(pts, "n_chars", "q_scaled")
+
+
+def q_ols_trend(spark, sf_dir):
+    """Per-source quality-vs-length regression sufficient statistics as
+    exact integers (n, Σx, Σy, Σxy, Σx²) — slope/intercept are float
+    closed forms over these, driver-side."""
+    from geodiff_spark.operators.analytics import grouped_ols
+
+    d = _spread_docs(spark, sf_dir).select(
+        "source",
+        F.col("n_chars").cast("double").alias("x"),
+        TX.quality_expr(F.col("text")).alias("y"),
+    )
+    return grouped_ols(d, "source", "x", "y")
+
+
+def _ols_trend_sql():
+    from geodiff_spark.operators.analytics import grouped_ols_sql
+
+    pts = f"""
+      SELECT source, CAST(n_chars AS DOUBLE) AS x,
+             {TX.quality_sql('text')} AS y
+      FROM documents
+    """
+    return grouped_ols_sql(pts, "source", "x", "y")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "diff_changeset": q_diff_changeset,
@@ -3440,6 +3494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_autocorr": q_spatial_autocorr,
         "markov_transitions": q_markov_transitions,
         "twap": q_twap,
+        "pareto_docs": q_pareto_docs,
+        "ols_trend": q_ols_trend,
     }
 
 
@@ -3543,4 +3599,6 @@ def oracle_sql() -> dict[str, str]:
         "spatial_autocorr": _spatial_autocorr_sql(),
         "markov_transitions": _markov_transitions_sql(),
         "twap": _twap_sql(),
+        "pareto_docs": _pareto_docs_sql(),
+        "ols_trend": _ols_trend_sql(),
     }

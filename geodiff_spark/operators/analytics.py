@@ -1,0 +1,153 @@
+"""Corpus-analytics operators: Pareto (skyline) frontier, grouped
+regression sufficient statistics.
+
+Reference parity note: geodiff itself has no skyline operator — this is
+part of the training-data-pipeline surface (select documents that are
+simultaneously long AND high-quality without a hand-tuned weighting).
+The oracle contract matches the repo convention: every graded column is
+integer-exact, the DuckDB twin restates the SEMANTICS (a quadratic
+NOT-EXISTS dominance scan) rather than the algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pareto_frontier(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Rows not dominated by any other row, maximizing BOTH ``x_col``
+    and ``y_col`` (a dominates b iff a.x>=b.x, a.y>=b.y, and at least
+    one is strict). Duplicate (x, y) points are all kept — an identical
+    point does not strictly dominate.
+
+    Scale shape (no quadratic pass, no single-partition window):
+
+    1. collapse to one row per distinct x with max(y) — one shuffle,
+       map-side partials;
+    2. prefix-max of max_y over strictly-greater x via the two-phase
+       range-partition trick (local window per physical partition +
+       broadcast #partitions-row offsets) — the same shape as
+       corpus.global_cumsum / the rebase allocator;
+    3. an x-group survives iff its max_y exceeds every max_y at greater
+       x (strictly — ties lose to the strictly-greater x);
+    4. one equi-join back to the input keeps the rows at (surviving x,
+       y == group max). Frontier size is data-dependent but the join is
+       a plain key join; AQE broadcasts it when small.
+    """
+    pts = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    g = pts.groupBy(x_col).agg(F.max(y_col).alias("_gy"))
+
+    p = df.sparkSession.sparkContext.defaultParallelism
+    d = g.repartitionByRange(p, F.col(x_col).desc()).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    prev = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col(x_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn("_lprev", F.max("_gy").over(prev))
+    offs = (
+        d.groupBy("_pid")
+        .agg(F.max("_gy").alias("_ptot"))
+        .withColumn(
+            "_poff",
+            F.max("_ptot").over(
+                Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .select("_pid", "_poff")
+    )
+    surviving = (
+        d.join(F.broadcast(offs), "_pid")
+        .withColumn("_prevmax", F.greatest(F.col("_lprev"), F.col("_poff")))
+        .filter(F.col("_prevmax").isNull() | (F.col("_gy") > F.col("_prevmax")))
+        # rename: surviving derives from pts, so joining back on the
+        # original names would build a trivially-true self-comparison
+        .select(F.col(x_col).alias("_fx"), F.col("_gy").alias("_fy"))
+    )
+    return pts.join(
+        surviving,
+        (F.col(x_col) == F.col("_fx")) & (F.col(y_col) == F.col("_fy")),
+    ).select(*pts.columns)
+
+
+def pareto_frontier_sql(points_sql: str, x_col: str, y_col: str) -> str:
+    """DuckDB twin of :func:`pareto_frontier`: the literal dominance
+    definition as a NOT-EXISTS scan (quadratic — oracle-only)."""
+    return f"""
+    SELECT b.* FROM ({points_sql}) b
+    WHERE b.{x_col} IS NOT NULL AND b.{y_col} IS NOT NULL
+      AND NOT EXISTS (
+        SELECT 1 FROM ({points_sql}) a
+        WHERE a.{x_col} >= b.{x_col} AND a.{y_col} >= b.{y_col}
+          AND (a.{x_col} > b.{x_col} OR a.{y_col} > b.{y_col})
+      )
+    """
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    x_scale: int = 1,
+    y_scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group simple-linear-regression sufficient statistics as exact
+    integers: n, Σx, Σy, Σxy, Σx² with x and y integer-scaled FIRST
+    (floor — Spark's double→bigint cast truncates toward zero while
+    DuckDB's rounds, so floor is the only cast both engines agree on).
+    Slope/intercept are the standard closed forms over these five
+    integers, computed driver-side in float — floats never cross the
+    graded boundary (repo convention, see operators/sketch.py).
+
+    Scale shape: ONE groupBy shuffle with map-side partials; per-row
+    products stay < 2^63 for |x·x_scale|, |y·y_scale| < ~3·10^9 at
+    group sizes < 10^12 — callers with wilder domains lower the scales.
+    """
+    xs = F.floor(F.col(x_col) * F.lit(int(x_scale))).cast("long")
+    ys = F.floor(F.col(y_col) * F.lit(int(y_scale))).cast("long")
+    return (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .select(group_col, xs.alias("_xs"), ys.alias("_ys"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_xs").alias("sum_x"),
+            F.sum("_ys").alias("sum_y"),
+            F.sum(F.col("_xs") * F.col("_ys")).alias("sum_xy"),
+            F.sum(F.col("_xs") * F.col("_xs")).alias("sum_xx"),
+        )
+    )
+
+
+def grouped_ols_sql(
+    points_sql: str,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    x_scale: int = 1,
+    y_scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of :func:`grouped_ols`."""
+    return f"""
+    SELECT {group_col},
+           count(*) AS n,
+           CAST(SUM(xs) AS BIGINT) AS sum_x,
+           CAST(SUM(ys) AS BIGINT) AS sum_y,
+           CAST(SUM(xs * ys) AS BIGINT) AS sum_xy,
+           CAST(SUM(xs * xs) AS BIGINT) AS sum_xx
+    FROM (
+      SELECT {group_col},
+             CAST(FLOOR({x_col} * {int(x_scale)}) AS BIGINT) AS xs,
+             CAST(FLOOR({y_col} * {int(y_scale)}) AS BIGINT) AS ys
+      FROM ({points_sql})
+      WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+    ) GROUP BY {group_col}
+    """

@@ -94,3 +94,73 @@ def test_twap_sub_millisecond_gap_floor_division(spark):
     df = spark.createDataFrame(rows, "k long, ts timestamp, v double, id long")
     out = time_weighted_avg(df, "k", "ts", "v", "id").collect()[0]
     assert out.den_ms == 1  # 1500us DIV 1000
+
+
+# --- pareto frontier / grouped OLS ----------------------------------------
+
+
+def _pareto(spark, rows):
+    from geodiff_spark.operators.analytics import pareto_frontier
+
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    return sorted(
+        (r.id for r in pareto_frontier(df, "x", "y").collect())
+    )
+
+
+def test_pareto_basic_staircase(spark):
+    # (3,1), (2,2), (1,3) all on frontier; (1,1), (2,1) dominated
+    rows = [(1, 3, 1), (2, 2, 2), (3, 1, 3), (4, 1, 1), (5, 2, 1)]
+    assert _pareto(spark, rows) == [1, 2, 3]
+
+
+def test_pareto_tie_on_x_loses_to_higher_y(spark):
+    # same x: only the max-y point survives (strict dominance in y)
+    rows = [(1, 5, 9), (2, 5, 7)]
+    assert _pareto(spark, rows) == [1]
+
+
+def test_pareto_tie_on_y_loses_to_higher_x(spark):
+    # equal y at greater x dominates (strict in x): id 2 dominated
+    rows = [(1, 9, 4), (2, 5, 4)]
+    assert _pareto(spark, rows) == [1]
+
+
+def test_pareto_duplicate_points_all_kept(spark):
+    # identical points do not strictly dominate each other
+    rows = [(1, 5, 5), (2, 5, 5), (3, 1, 1)]
+    assert _pareto(spark, rows) == [1, 2]
+
+
+def test_pareto_nulls_excluded(spark):
+    rows = [(1, 5, 5), (2, None, 9), (3, 9, None)]
+    assert _pareto(spark, rows) == [1]
+
+
+def test_pareto_matches_bruteforce_random(spark):
+    import random
+
+    rnd = random.Random(42)
+    rows = [(i, rnd.randrange(30), rnd.randrange(30)) for i in range(300)]
+    expect = sorted(
+        i
+        for i, x, y in rows
+        if not any(
+            ax >= x and ay >= y and (ax > x or ay > y) for _, ax, ay in rows
+        )
+    )
+    assert _pareto(spark, rows) == expect
+
+
+def test_grouped_ols_exact_sums(spark):
+    from geodiff_spark.operators.analytics import grouped_ols
+
+    rows = [("a", 1.0, 0.5), ("a", 2.0, 1.5), ("b", 3.0, -0.25)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r.g: r for r in grouped_ols(df, "g", "x", "y", 10, 100).collect()}
+    # a: xs=[10,20] ys=[50,150]
+    assert (out["a"].n, out["a"].sum_x, out["a"].sum_y) == (2, 30, 200)
+    assert out["a"].sum_xy == 10 * 50 + 20 * 150
+    assert out["a"].sum_xx == 100 + 400
+    # b: floor(-0.25*100) = -25 (floor, not truncate)
+    assert out["b"].sum_y == -25
