@@ -3397,6 +3397,74 @@ def _ols_trend_sql():
     return grouped_ols_sql(pts, "source", "x", "y")
 
 
+_BLOOM_M = 1 << 16
+_BLOOM_K = 4
+
+
+def q_bloom_filter(spark, sf_dir):
+    """Mergeable Bloom filter words over the order-customer set: ONE
+    scan with map-side bit_or partials, output bounded at m/32 rows
+    regardless of input size (the 100 TB join-prefilter build side)."""
+    from geodiff_spark.operators.sketch import M57, bloom_sketch
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return bloom_sketch(o, F.col("o_custkey") % M57, m_bits=_BLOOM_M, k=_BLOOM_K)
+
+
+def _bloom_filter_sql():
+    from geodiff_spark.operators.sketch import M57, bloom_sketch_sql
+
+    return bloom_sketch_sql(
+        "SELECT o_custkey FROM orders", f"o_custkey % {M57}",
+        m_bits=_BLOOM_M, k=_BLOOM_K,
+    )
+
+
+def q_bloom_probe(spark, sf_dir):
+    """Probe customers (half shifted out of the key domain to force true
+    negatives) against the orders Bloom filter: false => definitely no
+    orders; membership bits are deterministic, so false positives grade
+    exactly too."""
+    from geodiff_spark.operators.sketch import M57, bloom_probe, bloom_sketch
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    words = bloom_sketch(o, F.col("o_custkey") % M57, m_bits=_BLOOM_M, k=_BLOOM_K)
+    probes = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(
+            F.when(F.col("c_custkey") % 2 == 0, F.col("c_custkey"))
+            .otherwise(F.col("c_custkey") + F.lit(1_000_000_000))
+            .alias("probe_key")
+        )
+    )
+    return bloom_probe(
+        probes, words, F.col("probe_key") % M57, ["probe_key"],
+        m_bits=_BLOOM_M, k=_BLOOM_K,
+    )
+
+
+def _bloom_probe_sql():
+    from geodiff_spark.operators.sketch import (
+        M57,
+        bloom_probe_sql,
+        bloom_sketch_sql,
+    )
+
+    words = bloom_sketch_sql(
+        "SELECT o_custkey FROM orders", f"o_custkey % {M57}",
+        m_bits=_BLOOM_M, k=_BLOOM_K,
+    )
+    probes = """
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN c_custkey
+                  ELSE c_custkey + 1000000000 END AS probe_key
+      FROM customer
+    """
+    return bloom_probe_sql(
+        probes, words, f"probe_key % {M57}", ["probe_key"],
+        m_bits=_BLOOM_M, k=_BLOOM_K,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "diff_changeset": q_diff_changeset,
@@ -3496,6 +3564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twap": q_twap,
         "pareto_docs": q_pareto_docs,
         "ols_trend": q_ols_trend,
+        "bloom_filter": q_bloom_filter,
+        "bloom_probe": q_bloom_probe,
     }
 
 
@@ -3601,4 +3671,6 @@ def oracle_sql() -> dict[str, str]:
         "twap": _twap_sql(),
         "pareto_docs": _pareto_docs_sql(),
         "ols_trend": _ols_trend_sql(),
+        "bloom_filter": _bloom_filter_sql(),
+        "bloom_probe": _bloom_probe_sql(),
     }

@@ -404,3 +404,117 @@ def cm_inner_product_sql(cm_a_src: str, cm_b_src: str) -> str:
     )
     SELECT CAST(MIN(ip) AS BIGINT) AS est FROM d
     """
+
+
+# --- Bloom filter -----------------------------------------------------------
+
+def bloom_sketch(
+    df: DataFrame,
+    item57: Column,
+    m_bits: int = 1 << 18,
+    k: int = 4,
+) -> DataFrame:
+    """Mergeable Bloom filter over a 57-bit item column, materialized as
+    integer words: (word_idx, word) with word = bit_or of 32-bit lanes
+    (32-bit lanes so ``1 << bit`` never touches the BIGINT sign — DuckDB
+    raises on signed overflow where Spark wraps). Position i of an item
+    is remix57(item, cm_seed(i)) % m_bits — the same seeded avalanche
+    kernel as the Count-Min rows, bit-identical in the SQL twin.
+
+    This is the 100 TB join-prefilter primitive: ONE scan with map-side
+    bit_or partials, output bounded at m_bits/32 rows regardless of
+    input size; filters built on different days/partitions merge with a
+    further bit_or. Probe side: :func:`bloom_probe`.
+    """
+    pos = F.explode(
+        F.array(*[remix57_col(item57, cm_seed(i)) % F.lit(m_bits) for i in range(k)])
+    ).alias("pos")
+    rows = df.select(pos)
+    return (
+        rows.groupBy((F.col("pos") / F.lit(32)).cast("long").alias("word_idx"))
+        .agg(
+            # shiftleft with a COLUMN bit count only exists in SQL form
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+            ).alias("word")
+        )
+    )
+
+
+def bloom_sketch_sql(src: str, item57: str, m_bits: int = 1 << 18, k: int = 4) -> str:
+    """DuckDB twin of :func:`bloom_sketch`. ``src`` must yield ``item57``."""
+    mixes = " UNION ALL ".join(
+        f"SELECT ({remix57_sql(item57, cm_seed(i))}) % {m_bits} AS pos FROM ({src})"
+        for i in range(k)
+    )
+    return f"""
+    SELECT CAST(pos // 32 AS BIGINT) AS word_idx,
+           CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS BIGINT)
+             AS word
+    FROM ({mixes}) GROUP BY 1
+    """
+
+
+def bloom_probe(
+    probe: DataFrame,
+    words: DataFrame,
+    item57: Column,
+    keep_cols: list[str],
+    m_bits: int = 1 << 18,
+    k: int = 4,
+) -> DataFrame:
+    """Membership test of ``probe`` rows against a :func:`bloom_sketch`
+    words relation: maybe_present is true iff ALL k probed bits are set
+    (false => definitely absent; true => present or a false positive —
+    deterministic and identical cross-engine, so it grades exactly).
+
+    Scale shape: the words relation is bounded (m_bits/32 rows) and
+    broadcast; the probe side explodes k rows per item, joins by
+    word_idx with zero shuffle of the probe table beyond the final
+    groupBy on its key."""
+    pos = F.posexplode(
+        F.array(*[remix57_col(item57, cm_seed(i)) % F.lit(m_bits) for i in range(k)])
+    )
+    p = probe.select(*keep_cols, pos.alias("_i", "_pos")).withColumn(
+        "word_idx", (F.col("_pos") / F.lit(32)).cast("long")
+    )
+    j = p.join(F.broadcast(words), "word_idx", "left")
+    hit = F.expr(
+        "(shiftright(COALESCE(word, CAST(0 AS BIGINT)),"
+        " CAST(_pos % 32 AS INT)) & 1) = 1"
+    )
+    return (
+        j.withColumn("_hit", hit)
+        .groupBy(*keep_cols)
+        .agg(F.bool_and("_hit").alias("maybe_present"))
+    )
+
+
+def bloom_probe_sql(
+    probe_src: str,
+    words_src: str,
+    item57: str,
+    keep_cols: list[str],
+    m_bits: int = 1 << 18,
+    k: int = 4,
+) -> str:
+    """DuckDB twin of :func:`bloom_probe`. ``probe_src`` must yield
+    ``keep_cols`` + the ``item57`` expression's inputs."""
+    keeps = ", ".join(keep_cols)
+    mixes = " UNION ALL ".join(
+        f"SELECT {keeps}, ({remix57_sql(item57, cm_seed(i))}) % {m_bits} AS pos "
+        f"FROM ({probe_src})"
+        for i in range(k)
+    )
+    return f"""
+    WITH w AS ({words_src}), p AS (
+      SELECT {keeps}, pos, CAST(pos // 32 AS BIGINT) AS word_idx
+      FROM ({mixes})
+    )
+    SELECT {keeps},
+           bool_and(
+             ((COALESCE(w.word, 0) >> CAST(p.pos % 32 AS INTEGER)) & 1) = 1
+           ) AS maybe_present
+    FROM p LEFT JOIN w ON p.word_idx = w.word_idx
+    GROUP BY {keeps}
+    """

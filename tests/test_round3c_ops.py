@@ -164,3 +164,55 @@ def test_grouped_ols_exact_sums(spark):
     assert out["a"].sum_xx == 100 + 400
     # b: floor(-0.25*100) = -25 (floor, not truncate)
     assert out["b"].sum_y == -25
+
+
+# --- bloom filter -----------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_merge_is_union(spark):
+    from geodiff_spark.operators.sketch import bloom_probe, bloom_sketch
+
+    m, k = 1 << 12, 4
+    a = spark.range(0, 200).select(F.col("id").alias("key"))
+    b = spark.range(200, 400).select(F.col("id").alias("key"))
+    wa = bloom_sketch(a, F.col("key"), m_bits=m, k=k)
+    wb = bloom_sketch(b, F.col("key"), m_bits=m, k=k)
+    # merge = bit_or of the word relations == filter built on the union
+    merged = (
+        wa.unionByName(wb)
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    direct = bloom_sketch(a.unionByName(b), F.col("key"), m_bits=m, k=k)
+    assert (
+        merged.exceptAll(direct).count() == 0
+        and direct.exceptAll(merged).count() == 0
+    )
+    # every inserted key MUST probe true (no false negatives)
+    probed = bloom_probe(
+        a.unionByName(b), merged, F.col("key"), ["key"], m_bits=m, k=k
+    )
+    assert probed.filter(~F.col("maybe_present")).count() == 0
+
+
+def test_bloom_misses_mostly_absent(spark):
+    from geodiff_spark.operators.sketch import bloom_probe, bloom_sketch
+
+    m, k = 1 << 14, 4
+    present = spark.range(0, 500).select(F.col("id").alias("key"))
+    absent = spark.range(10_000, 11_000).select(F.col("id").alias("key"))
+    words = bloom_sketch(present, F.col("key"), m_bits=m, k=k)
+    out = bloom_probe(absent, words, F.col("key"), ["key"], m_bits=m, k=k)
+    fp = out.filter(F.col("maybe_present")).count()
+    # 500 keys * 4 bits in 16384 => fill ~12%; fp rate ~ 0.12^4 ~ 2e-4
+    assert fp <= 5
+
+
+def test_bloom_probe_empty_filter_all_false(spark):
+    from geodiff_spark.operators.sketch import bloom_probe, bloom_sketch
+
+    empty = spark.range(0).select(F.col("id").alias("key"))
+    words = bloom_sketch(empty, F.col("key"), m_bits=1 << 10, k=3)
+    probes = spark.range(0, 50).select(F.col("id").alias("key"))
+    out = bloom_probe(probes, words, F.col("key"), ["key"], m_bits=1 << 10, k=3)
+    assert out.filter(F.col("maybe_present")).count() == 0
