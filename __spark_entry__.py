@@ -3465,6 +3465,23 @@ def _bloom_probe_sql():
     )
 
 
+def q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training: the first 6 merge rules learned from the
+    corpus (Sennrich-style — state is the word-frequency table, never
+    the raw corpus; each round is one vocab-sized pair-count groupBy, a
+    1-row TakeOrdered winner, and a broadcast fold rewrite)."""
+    from geodiff_spark.operators.lm import bpe_train
+
+    d = _spread_docs(spark, sf_dir)
+    return bpe_train(d, "text", n_merges=6)
+
+
+def _bpe_merges_sql():
+    from geodiff_spark.operators.lm import bpe_train_sql
+
+    return bpe_train_sql("SELECT text FROM documents", "text", n_merges=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "diff_changeset": q_diff_changeset,
@@ -3566,6 +3583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_trend": q_ols_trend,
         "bloom_filter": q_bloom_filter,
         "bloom_probe": q_bloom_probe,
+        "bpe_merges": q_bpe_merges,
     }
 
 
@@ -3673,4 +3691,5 @@ def oracle_sql() -> dict[str, str]:
         "ols_trend": _ols_trend_sql(),
         "bloom_filter": _bloom_filter_sql(),
         "bloom_probe": _bloom_probe_sql(),
+        "bpe_merges": _bpe_merges_sql(),
     }

@@ -440,3 +440,191 @@ def pmi_collocations_sql(
                 AS BIGINT) AS pmi_scaled
     FROM c12 JOIN c1 a ON c12.w1 = a.tok JOIN c1 b ON c12.w2 = b.tok
     """
+
+
+# --- BPE tokenizer training -------------------------------------------------
+
+US = "\x1f"  # token delimiter inside a word's seq; never occurs in tokens
+
+
+def _bpe_word_freqs(
+    docs: DataFrame, text_col: str, max_word_len: int
+) -> DataFrame:
+    """(word, freq) table — the classical BPE training state (Sennrich et
+    al. 2016: merges never cross word boundaries, so training folds over
+    the VOCABULARY weighted by frequency, not over raw documents). Text
+    is sanitized to printable ASCII so the delimiter can never collide
+    and cross-engine collation is binary-identical."""
+    w = F.explode(
+        F.split(F.regexp_replace(F.col(text_col), "[^ -~]", ""), r"\s+")
+    ).alias("w")
+    return (
+        docs.select(w)
+        .select(F.substring("w", 1, max_word_len).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _pairs_expr(seq):
+    """Adjacent token pairs of a seq string (pair = left||US||right).
+    split('_t1_..._tn_') -> ['', t1..tn, ''] so tokens sit at 0-based
+    1..size-2; guard size>=4 because Spark's sequence(1, 0) DESCENDS."""
+    a = F.split(seq, US)
+    return F.when(
+        F.size(a) >= 4,
+        F.transform(
+            F.sequence(F.lit(1), F.size(a) - 3),
+            lambda i: F.concat(
+                F.element_at(a, i + 1), F.lit(US), F.element_at(a, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _merge_fold(seq, lt, rt):
+    """Exact greedy left-to-right merge of pair (lt, rt) in a seq string:
+    fold over the split tokens carrying the joined prefix; a merged token
+    is closed (trailing US) so it never re-merges as a left side within
+    the same round — precisely Sennrich's non-overlapping scan."""
+    m = F.aggregate(
+        F.split(seq, US),
+        F.lit(""),
+        lambda acc, x: (
+            F.when(x == "", acc)  # split sentinels
+            .when(acc == "", F.concat(F.lit(US), x))
+            .when(
+                ~acc.endswith(F.lit(US))
+                & acc.endswith(F.concat(F.lit(US), lt))
+                & (x == rt),
+                F.concat(acc, x, F.lit(US)),
+            )
+            .when(acc.endswith(F.lit(US)), F.concat(acc, x))
+            .otherwise(F.concat(acc, F.lit(US), x))
+        ),
+    )
+    return F.when(m.endswith(F.lit(US)), m).otherwise(F.concat(m, F.lit(US)))
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str,
+    n_merges: int = 5,
+    max_word_len: int = 16,
+) -> DataFrame:
+    """Byte-pair-encoding tokenizer training: the first ``n_merges``
+    merge rules learned from the corpus. Returns (merge_rank, left_tok,
+    right_tok, cnt) — the merge table, in learned order; cnt is the
+    frequency-weighted pair count that won the round (ties broken by
+    pair string ascending — deterministic cross-engine on the
+    ASCII-sanitized corpus).
+
+    Scale shape: state is the WORD-FREQUENCY table (|vocab| rows), never
+    the corpus — one explode+groupBy builds it; each round is one
+    pair-count groupBy over <= |vocab|*(max_word_len-1) short rows with
+    map-side partials, a 1-row TakeOrdered winner, and a broadcast
+    crossJoin + per-word fold rewrite (narrow, codegen). No collects —
+    the winner stays a DataFrame; k rounds = k tiny jobs in one lazy
+    plan. At 10^12 docs the vocab is tens of millions of rows: every
+    shuffle is vocab-sized, the corpus is read once.
+    """
+    state = _bpe_word_freqs(docs, text_col, max_word_len).select(
+        "freq",
+        F.concat(
+            F.lit(US), F.array_join(F.split(F.col("w"), ""), US), F.lit(US)
+        ).alias("seq"),
+    )
+    winners = []
+    for r in range(1, n_merges + 1):
+        counts = (
+            state.select("freq", F.explode(_pairs_expr(F.col("seq"))).alias("pr"))
+            .groupBy("pr")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        win = (
+            counts.orderBy(F.desc("cnt"), F.asc("pr"))
+            .limit(1)
+            .select(
+                F.lit(r).cast("long").alias("merge_rank"),
+                F.element_at(F.split(F.col("pr"), US), 1).alias("left_tok"),
+                F.element_at(F.split(F.col("pr"), US), 2).alias("right_tok"),
+                F.col("cnt"),
+            )
+        )
+        winners.append(win)
+        state = state.crossJoin(
+            F.broadcast(
+                win.select(
+                    F.col("left_tok").alias("_lt"), F.col("right_tok").alias("_rt")
+                )
+            )
+        ).select(
+            "freq",
+            _merge_fold(F.col("seq"), F.col("_lt"), F.col("_rt")).alias("seq"),
+        )
+    out = winners[0]
+    for w in winners[1:]:
+        out = out.unionByName(w)
+    return out
+
+
+def bpe_train_sql(
+    docs_sql: str,
+    text_col: str,
+    n_merges: int = 5,
+    max_word_len: int = 16,
+) -> str:
+    """DuckDB twin of :func:`bpe_train` — rounds unrolled as CTE stages;
+    the fold is list_reduce with the acc seeded by list_prepend('')."""
+    d = "chr(31)"
+    fold = f"""
+      CASE WHEN NOT ends_with(_m, {d}) THEN _m || {d} ELSE _m END
+    """
+    parts = [
+        f"""wf AS (
+      SELECT w, count(*) AS freq FROM (
+        SELECT substr(x, 1, {max_word_len}) AS w FROM (
+          SELECT unnest(regexp_split_to_array(
+                   regexp_replace({text_col}, '[^ -~]', '', 'g'), '\\s+')) AS x
+          FROM ({docs_sql})
+        )
+      ) WHERE w <> '' GROUP BY w
+    )""",
+        f"""s0 AS (
+      SELECT freq,
+             {d} || array_to_string(str_split(w, ''), {d}) || {d} AS seq
+      FROM wf
+    )""",
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(f"""c{r} AS (
+      SELECT pr, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        SELECT freq,
+               unnest(list_transform(range(2, len(a) - 1),
+                                     i -> a[i] || {d} || a[i + 1])) AS pr
+        FROM (SELECT freq, str_split(seq, {d}) AS a FROM s{r - 1})
+      ) GROUP BY pr
+    )""")
+        parts.append(f"""w{r} AS (
+      SELECT {r}::BIGINT AS merge_rank,
+             str_split(pr, {d})[1] AS left_tok,
+             str_split(pr, {d})[2] AS right_tok, cnt
+      FROM c{r} ORDER BY cnt DESC, pr ASC LIMIT 1
+    )""")
+        if r < n_merges:
+            parts.append(f"""s{r} AS (
+      SELECT freq, {fold.replace("_m", f'''list_reduce(
+        list_prepend('', str_split(seq, {d})),
+        (acc, x) -> CASE
+          WHEN x = '' THEN acc
+          WHEN acc = '' THEN {d} || x
+          WHEN NOT ends_with(acc, {d})
+               AND ends_with(acc, {d} || w{r}.left_tok) AND x = w{r}.right_tok
+            THEN acc || x || {d}
+          WHEN ends_with(acc, {d}) THEN acc || x
+          ELSE acc || {d} || x END)''')} AS seq
+      FROM s{r - 1}, w{r}
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM w{r}" for r in range(1, n_merges + 1))
+    return "WITH " + ",\n".join(parts) + f"\nSELECT * FROM ({union})"
