@@ -3482,6 +3482,140 @@ def _bpe_merges_sql():
     return bpe_train_sql("SELECT text FROM documents", "text", n_merges=6)
 
 
+def q_edit_dedup(spark, sf_dir):
+    """Blocked edit-distance fuzzy-duplicate pairs (record-linkage for
+    typo-level near-dups that shingle methods miss): prefix-block
+    equi-join + length-band prefilter + JVM levenshtein refine — one
+    key shuffle, never all-pairs."""
+    from geodiff_spark.operators.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(
+        _spread_docs(spark, sf_dir), "doc_id", "text",
+        prefix_len=8, cmp_len=32, max_dist=14,
+    )
+
+
+def _edit_dedup_sql():
+    from geodiff_spark.operators.dedup import edit_distance_pairs_sql
+
+    return edit_distance_pairs_sql(
+        "SELECT doc_id, text FROM documents", "doc_id", "text",
+        prefix_len=8, cmp_len=32, max_dist=14,
+    )
+
+
+def q_zorder_keys(spark, sf_dir):
+    """Z-order (Morton) layout keys over the customer point cloud — the
+    Delta OPTIMIZE ZORDER / Iceberg z-sort primitive: interleaved
+    16+16-bit quantized lat/lon (pure codegen bit kernel) plus the
+    coarse file bucket a skipping index would store. Zero shuffle; at
+    scale the key feeds repartitionByRange to cluster files."""
+    from geodiff_spark.spatial.morton import morton_expr, zbucket_expr
+
+    c = _customers_geo(spark, sf_dir)
+    z = morton_expr(F.col("lat"), F.col("lon"))
+    return c.select(
+        "c_custkey", z.alias("zkey"), zbucket_expr(z).alias("zbucket")
+    )
+
+
+def _zorder_keys_sql():
+    from geodiff_spark.spatial.morton import morton_sql, zbucket_sql
+
+    z = morton_sql(_LAT, _LON)
+    return (
+        f"SELECT c_custkey, {z} AS zkey, {zbucket_sql(z)} AS zbucket "
+        "FROM customer"
+    )
+
+
+def q_weighted_paths(spark, sf_dir):
+    """Bellman-Ford weighted radius over the synthetic link graph:
+    min path weight from the 3-doc seed set within 6 relaxation rounds
+    (integer weights — exact cross-engine). Two linear shuffles per
+    round, lineage truncated per round."""
+    from geodiff_spark.operators.graph import weighted_distances
+
+    d = _spread_docs(spark, sf_dir)
+    n_docs = d.count()
+    ids = d.select(F.col("doc_id").alias("i"))
+    edges = None
+    for a, b in _PR_LINKS:
+        e = ids.select(
+            F.col("i").alias("src"),
+            ((F.col("i") * a + b) % n_docs).alias("dst"),
+            (F.lit(1) + (F.col("i") * a + b) % 7).cast("long").alias("w"),
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    seeds = ids.filter(F.col("i") < 3).select(F.col("i").alias("node"))
+    return weighted_distances(edges, seeds, rounds=6)
+
+
+def _weighted_paths_sql():
+    from geodiff_spark.operators.graph import weighted_distances_sql
+
+    n = "(SELECT count(*) FROM documents)"
+    edges = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id * {a} + {b}) % {n} AS dst, "
+        f"1 + (doc_id * {a} + {b}) % 7 AS w FROM documents"
+        for a, b in _PR_LINKS
+    )
+    return weighted_distances_sql(
+        edges, "SELECT doc_id AS node FROM documents WHERE doc_id < 3",
+        rounds=6,
+    )
+
+
+_HRW_SHARDS = 8
+
+
+def q_hrw_route(spark, sf_dir):
+    """Rendezvous (highest-random-weight) shard routing of the corpus:
+    consistent key->shard assignment that remaps only ~1/(n+1) of keys
+    on a resize — the stable layout for resumable checkpoints and
+    stateful-stream repartitions. Pure-codegen argmax over seeded
+    remix57 lanes; zero shuffle."""
+    from geodiff_spark.operators.skew import hrw_shard_expr
+
+    d = _spread_docs(spark, sf_dir)
+    key57 = F.pmod(F.col("doc_id").cast("long"), F.lit(1 << 57))
+    return d.select(
+        "doc_id", hrw_shard_expr(key57, _HRW_SHARDS).alias("shard")
+    )
+
+
+def _hrw_route_sql():
+    from geodiff_spark.operators.skew import hrw_shard_sql
+
+    m57 = 1 << 57
+    return (
+        f"SELECT doc_id, {hrw_shard_sql(f'((doc_id % {m57}) + {m57}) % {m57}', _HRW_SHARDS)}"
+        " AS shard FROM documents"
+    )
+
+
+def q_bottomk_quantiles(spark, sf_dir):
+    """Mergeable bottom-k-by-hash sample quantiles of document lengths:
+    TakeOrdered keeps the k smallest key hashes (per-partition top-k +
+    driver merge — the corpus never sorts), then exact integer order
+    statistics off the k-row sample; cross-snapshot-stable sample keys."""
+    from geodiff_spark.operators.sketch import bottomk_quantiles
+
+    d = _spread_docs(spark, sf_dir)
+    return bottomk_quantiles(
+        d, F.col("doc_id"), F.length("text"), k=256
+    )
+
+
+def _bottomk_quantiles_sql():
+    from geodiff_spark.operators.sketch import bottomk_quantiles_sql
+
+    return bottomk_quantiles_sql(
+        "SELECT doc_id, length(text) AS len FROM documents",
+        "doc_id", "len", k=256,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "diff_changeset": q_diff_changeset,
@@ -3584,6 +3718,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_filter": q_bloom_filter,
         "bloom_probe": q_bloom_probe,
         "bpe_merges": q_bpe_merges,
+        "edit_dedup": q_edit_dedup,
+        "zorder_keys": q_zorder_keys,
+        "weighted_paths": q_weighted_paths,
+        "hrw_route": q_hrw_route,
+        "bottomk_quantiles": q_bottomk_quantiles,
     }
 
 
@@ -3692,4 +3831,9 @@ def oracle_sql() -> dict[str, str]:
         "bloom_filter": _bloom_filter_sql(),
         "bloom_probe": _bloom_probe_sql(),
         "bpe_merges": _bpe_merges_sql(),
+        "edit_dedup": _edit_dedup_sql(),
+        "zorder_keys": _zorder_keys_sql(),
+        "weighted_paths": _weighted_paths_sql(),
+        "hrw_route": _hrw_route_sql(),
+        "bottomk_quantiles": _bottomk_quantiles_sql(),
     }

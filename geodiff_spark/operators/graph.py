@@ -428,3 +428,95 @@ def hop_distances_sql(
     SELECT n AS {node_col}, CAST(MIN(d) AS BIGINT) AS dist
     FROM walk GROUP BY n
     """
+
+
+def weighted_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str = "w",
+    node_col: str = "node",
+    rounds: int = 6,
+) -> DataFrame:
+    """Bellman-Ford relaxation over an undirected INTEGER-weighted
+    graph: the minimum path weight from any source to every node
+    reachable within ``rounds`` edges (link-latency radius, weighted
+    crawl-frontier cost). Returns (node, dist) — dist 0 for sources;
+    nodes not reached within ``rounds`` relaxations emit no row.
+
+    Determinism: a FIXED round count, not convergence-to-quiescence —
+    after k rounds the relation is exactly "min weight over paths of
+    <= k edges", a well-defined value both engines compute identically
+    (integer weights: min/+ are exact, any evaluation order agrees).
+
+    Scale shape: each round is one edge join (dist x adjacency on the
+    node key) + one min-groupBy — two linear shuffles over a relation
+    bounded by the reached set, the same iterative-join discipline as
+    pagerank_fp; lineage truncated per round with localCheckpoint. For
+    diameter-bound semantics run rounds = diameter; for a radius query
+    (this operator's intended use) rounds IS the query parameter.
+    """
+    e = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v"),
+        F.col(w_col).cast("long").alias("w"),
+    ).filter(F.col("u") != F.col("v"))
+    adj = (
+        e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+        .groupBy("u", "v").agg(F.min("w").alias("w"))
+        .localCheckpoint()
+    )
+    dist = (
+        sources.select(F.col(node_col).alias("n"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(adj, dist["n"] == adj["u"])
+            .select(F.col("v").alias("n"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("n").agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist.select(F.col("n").alias(node_col), "dist")
+
+
+def weighted_distances_sql(
+    edges_sql: str,
+    sources_sql: str,
+    node_col: str = "node",
+    rounds: int = 6,
+) -> str:
+    """DuckDB twin of :func:`weighted_distances`: the same fixed-round
+    relaxation unrolled as chained CTEs (d0 .. d{rounds})."""
+    parts = [
+        f"""adj AS MATERIALIZED (
+      SELECT u, v, CAST(MIN(w) AS BIGINT) AS w FROM (
+        SELECT src AS u, dst AS v, w FROM ({edges_sql}) WHERE src <> dst
+        UNION ALL
+        SELECT dst, src, w FROM ({edges_sql}) WHERE src <> dst
+      ) GROUP BY u, v
+    )""",
+        f"""d0 AS (
+      SELECT DISTINCT {node_col} AS n, CAST(0 AS BIGINT) AS dist
+      FROM ({sources_sql})
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""d{r} AS (
+      SELECT n, MIN(dist) AS dist FROM (
+        SELECT n, dist FROM d{r - 1}
+        UNION ALL
+        SELECT adj.v AS n, d{r - 1}.dist + adj.w AS dist
+        FROM d{r - 1} JOIN adj ON adj.u = d{r - 1}.n
+      ) GROUP BY n
+    )""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT n AS {node_col}, dist FROM d{rounds}"
+    )

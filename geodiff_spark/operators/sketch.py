@@ -518,3 +518,84 @@ def bloom_probe_sql(
     FROM p LEFT JOIN w ON p.word_idx = w.word_idx
     GROUP BY {keeps}
     """
+
+
+# --- bottom-k hash-sample quantiles ---------------------------------------
+
+def bottomk_quantiles(
+    df: DataFrame,
+    key: Column,
+    value: Column,
+    *,
+    k: int = 256,
+    qs: tuple = (10, 25, 50, 75, 90),
+    seed: int = HLL_SEED,
+) -> DataFrame:
+    """Approximate quantiles from a BOTTOM-K-BY-HASH sample: keep the k
+    rows whose remixed key hash is smallest, then read exact order
+    statistics off the sample. Returns (q_pct, value) — one row per
+    requested percentile.
+
+    Why this shape at 100 TB: bottom-k by a deterministic hash is a
+    MERGEABLE uniform sample — the union of per-partition bottom-ks,
+    re-trimmed to k, equals the global bottom-k, which is exactly what
+    Spark's TakeOrdered physical op does (per-partition top-k + driver
+    merge of k x P candidates; the corpus never sorts globally). The
+    sketch is also cross-snapshot stable: the sampled KEYS are the same
+    ones tomorrow, so day-over-day quantile drift reflects the data,
+    not the sample. Ranks use the exact integer formula
+    ceil(q*m/100) = (q*m + 99) div 100 with (value, hash) total order —
+    bit-identical cross-engine, no interpolation floats.
+    """
+    hk = remix57_col(F.pmod(key.cast("long"), F.lit(M57)), seed)
+    samp = (
+        df.select(value.cast("long").alias("v"), hk.alias("hk"))
+        .orderBy("hk")
+        .limit(k)
+    )
+    from pyspark.sql.window import Window
+
+    ranked = samp.select(
+        "v",
+        F.row_number().over(Window.orderBy("v", "hk")).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    qarr = F.array(*[F.lit(int(q)) for q in qs])
+    qrows = (
+        ranked.groupBy().agg(F.max("m").alias("m"))
+        .select(F.explode(qarr).alias("q_pct"), "m")
+        .select(
+            F.col("q_pct").cast("long").alias("q_pct"),
+            F.expr("(q_pct * m + 99) div 100").alias("r"),
+        )
+    )
+    return qrows.join(ranked, "r").select("q_pct", F.col("v").alias("value"))
+
+
+def bottomk_quantiles_sql(
+    src_sql: str,
+    key: str,
+    value: str,
+    *,
+    k: int = 256,
+    qs: tuple = (10, 25, 50, 75, 90),
+    seed: int = HLL_SEED,
+) -> str:
+    """DuckDB twin of :func:`bottomk_quantiles` — same hash, same total
+    order, same integer rank formula."""
+    hk = remix57_sql(f"(({key}) % {M57} + {M57}) % {M57}", seed)
+    qvals = ", ".join(f"({int(q)})" for q in qs)
+    return f"""
+    WITH s AS (
+      SELECT CAST({value} AS BIGINT) AS v, {hk} AS hk
+      FROM ({src_sql}) ORDER BY hk LIMIT {k}
+    ),
+    ranked AS (
+      SELECT v, row_number() OVER (ORDER BY v, hk) AS r,
+             count(*) OVER () AS m
+      FROM s
+    )
+    SELECT CAST(q.q_pct AS BIGINT) AS q_pct, ranked.v AS value
+    FROM (VALUES {qvals}) q(q_pct)
+    JOIN ranked ON ranked.r = (q.q_pct * ranked.m + 99) // 100
+    """

@@ -113,3 +113,38 @@ def salted_cell_counts(
         [F.sum("n").alias("n")],
         n_salts=n_salts,
     )
+
+
+# --- rendezvous (HRW) routing ---------------------------------------------
+
+def hrw_shard_expr(key57: Column, n_shards: int) -> Column:
+    """Highest-random-weight (rendezvous) shard for a 57-bit key: the
+    argmax over shards of a seeded remix of the key. The property that
+    matters at scale: when the shard count changes n -> n+1, ONLY the
+    keys whose new shard wins move (an expected 1/(n+1) fraction) —
+    consistent routing for resumable checkpoint layouts and stateful-
+    stream repartitions, where a mod-N route would remap almost every
+    key. Ties break to the lowest shard id (first position of the max).
+
+    Pure codegen: n_shards parallel remix57 lanes + array argmax, no
+    UDF, no shuffle. Keep n_shards modest (it is a per-row expression
+    width); route to coarse shards here and hash within a shard."""
+    from geodiff_spark.operators.sketch import cm_seed, remix57_col
+
+    lanes = F.array(
+        *[remix57_col(key57, cm_seed(1000 + s)) for s in range(n_shards)]
+    )
+    return (F.array_position(lanes, F.array_max(lanes)) - 1).cast("long")
+
+
+def hrw_shard_sql(key57: str, n_shards: int) -> str:
+    """DuckDB twin of :func:`hrw_shard_expr` (list_position finds the
+    FIRST occurrence — same lowest-shard tie-break)."""
+    from geodiff_spark.operators.sketch import cm_seed, remix57_sql
+
+    lanes = ", ".join(
+        remix57_sql(key57, cm_seed(1000 + s)) for s in range(n_shards)
+    )
+    return (
+        f"CAST(list_position([{lanes}], list_max([{lanes}])) - 1 AS BIGINT)"
+    )
