@@ -3616,6 +3616,132 @@ def _bottomk_quantiles_sql():
     )
 
 
+def q_kmv_overlap(spark, sf_dir):
+    """KMV distinct-sketch set overlap between two audiences (clickers
+    vs purchasers): k-minimum-values sketches support INTERSECTION
+    estimates HLL cannot — union threshold + common-hash count in one
+    row; each sketch is a distinct + TakeOrdered, never a global sort."""
+    from geodiff_spark.operators.sketch import M57, kmv_overlap
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = ev.filter(F.col("event_type") == "click")
+    b = ev.filter(F.col("event_type") == "purchase")
+    item = F.pmod(F.col("user_id").cast("long"), F.lit(M57))
+    return kmv_overlap(a, b, item, item, k=256)
+
+
+def _kmv_overlap_sql():
+    from geodiff_spark.operators.sketch import M57, kmv_overlap_sql
+
+    item = f"((user_id % {M57}) + {M57}) % {M57}"
+    return kmv_overlap_sql(
+        "SELECT user_id FROM events WHERE event_type = 'click'", item,
+        "SELECT user_id FROM events WHERE event_type = 'purchase'", item,
+        k=256,
+    )
+
+
+def q_priority_sample(spark, sf_dir):
+    """Priority sampling (Duffield-Lund-Thorup) of the corpus with
+    token-count weights: weight-proportional, retry/snapshot-stable
+    (hash randomness, no rand()), TakeOrdered shape — the estimator-
+    grade sample a 100 TB token-budget audit draws."""
+    from geodiff_spark.operators.corpus import priority_sample
+
+    d = _spread_docs(spark, sf_dir)
+    return priority_sample(
+        d, F.col("doc_id"), TX.token_count_expr(F.col("text")), k=128
+    )
+
+
+def _priority_sample_sql():
+    from geodiff_spark.operators.corpus import priority_sample_sql
+
+    return priority_sample_sql(
+        "SELECT doc_id, text FROM documents", "doc_id",
+        TX.token_count_sql("text"), k=128,
+    )
+
+
+_PENT = ((0.0, 0.0), (7.3, 1.1), (9.2, 6.4), (4.1, 9.8), (-1.7, 5.2))
+
+
+def q_polygon_stats(spark, sf_dir):
+    """Shoelace measures of synthetic pentagon service areas (one per
+    nation): signed area2, centroid numerators, vertex count — exact
+    int64 sums on milli-degree-quantized vertices (the vector-measure
+    complement of the raster/tile layer); pure codegen array kernel,
+    zero shuffle."""
+    from geodiff_spark.spatial.measure import ring_measures
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey")
+    n = n.withColumn("blon", F.expr(_QLON)).withColumn("blat", F.expr(_QLAT))
+    ring = F.array(*[
+        F.struct(
+            (F.col("blon") + F.lit(dx)).alias("lon"),
+            (F.col("blat") + F.lit(dy)).alias("lat"),
+        )
+        for dx, dy in _PENT
+    ])
+    m = ring_measures(ring)
+    return n.select(
+        "n_nationkey",
+        m["area2"].alias("area2"),
+        m["cx_num"].alias("cx_num"),
+        m["cy_num"].alias("cy_num"),
+        m["n_vertices"].alias("n_vertices"),
+    )
+
+
+def _polygon_stats_sql():
+    from geodiff_spark.spatial.measure import ring_measures_sql
+
+    ring = (
+        "["
+        + ", ".join(
+            f"{{'lon': {_QLON} + CAST({dx} AS DOUBLE), "
+            f"'lat': {_QLAT} + CAST({dy} AS DOUBLE)}}"
+            for dx, dy in _PENT
+        )
+        + "]"
+    )
+    m = ring_measures_sql("ring")
+    return f"""
+    WITH src AS (SELECT n_nationkey, {ring} AS ring FROM nation),
+    ms AS (SELECT n_nationkey, {m} AS m FROM src)
+    SELECT n_nationkey,
+           CAST(m.area2 AS BIGINT) AS area2,
+           CAST(m.cx_num AS BIGINT) AS cx_num,
+           CAST(m.cy_num AS BIGINT) AS cy_num,
+           CAST(m.n_vertices AS BIGINT) AS n_vertices
+    FROM ms
+    """
+
+
+_PRUNE_BBOX = (-30.0, 10.0, 40.0, 50.0)
+
+
+def q_zorder_prune(spark, sf_dir):
+    """File-skipping statistics for the Z-order layout: per-zbucket
+    ("file") row counts + quantized lon/lat envelopes (the min/max
+    column stats Iceberg keeps per data file) and the scan/prune
+    decision for a fixed bbox query — the measured I/O payoff of
+    z-clustering; one groupBy with map-side min/max partials."""
+    from geodiff_spark.spatial.morton import layout_stats
+
+    return layout_stats(
+        _customers_geo(spark, sf_dir), "lat", "lon", bbox=_PRUNE_BBOX
+    )
+
+
+def _zorder_prune_sql():
+    from geodiff_spark.spatial.morton import layout_stats_sql
+
+    return layout_stats_sql(
+        "SELECT c_custkey FROM customer", _LAT, _LON, bbox=_PRUNE_BBOX
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "diff_changeset": q_diff_changeset,
@@ -3723,6 +3849,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_paths": q_weighted_paths,
         "hrw_route": q_hrw_route,
         "bottomk_quantiles": q_bottomk_quantiles,
+        "kmv_overlap": q_kmv_overlap,
+        "priority_sample": q_priority_sample,
+        "polygon_stats": q_polygon_stats,
+        "zorder_prune": q_zorder_prune,
     }
 
 
@@ -3836,4 +3966,8 @@ def oracle_sql() -> dict[str, str]:
         "weighted_paths": _weighted_paths_sql(),
         "hrw_route": _hrw_route_sql(),
         "bottomk_quantiles": _bottomk_quantiles_sql(),
+        "kmv_overlap": _kmv_overlap_sql(),
+        "priority_sample": _priority_sample_sql(),
+        "polygon_stats": _polygon_stats_sql(),
+        "zorder_prune": _zorder_prune_sql(),
     }

