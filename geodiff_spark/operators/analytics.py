@@ -151,3 +151,99 @@ def grouped_ols_sql(
       WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
     ) GROUP BY {group_col}
     """
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    *,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier summary via median absolute deviation:
+    (group, n, med, mad, n_out) with n_out = |{v : |v - med| > k*mad}|.
+    The robust twin of z-score gating — one mega-value cannot drag the
+    threshold the way a mean/stddev gate lets it.
+
+    Determinism: "median" is pinned to the LOWER median — the value at
+    row_number (n+1)/2 under the total order (value, id) — not an
+    interpolated percentile, so both engines select the same stored
+    double; |v - med| and k*mad are single IEEE ops (bit-identical
+    cross-engine), never accumulated sums.
+
+    Scale shape: two ranked passes over the same (group) partitioning —
+    Spark plans ONE Exchange and reuses it for both windows and the
+    final groupBy; the med/mad relations are |groups| rows joined back
+    via broadcast. For cardinalities where even per-group sort is too
+    hot, swap the exact median for bottomk_quantiles and keep the same
+    gate."""
+    med_rank = F.expr("(n + 1) div 2")
+    w = Window.partitionBy("g").orderBy("v", "i")
+    wn = Window.partitionBy("g")
+    t = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).alias("v"),
+        F.col(id_col).alias("i"),
+    ).withColumn("r", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    med = t.filter(F.col("r") == med_rank).select("g", F.col("v").alias("med"))
+    dev = t.join(F.broadcast(med), "g").withColumn(
+        "d", F.abs(F.col("v") - F.col("med"))
+    )
+    wd = Window.partitionBy("g").orderBy("d", "i")
+    dev = dev.withColumn("rd", F.row_number().over(wd))
+    mad = dev.filter(F.col("rd") == med_rank).select("g", F.col("d").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "g")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                (F.col("d") > F.lit(float(k)) * F.col("mad")).cast("long")
+            ).alias("n_out"),
+        )
+        .select(F.col("g").alias(group_col), "n", "med", "mad", "n_out")
+    )
+
+
+def mad_outliers_sql(
+    src_sql: str,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    *,
+    k: float = 3.0,
+) -> str:
+    """DuckDB twin of :func:`mad_outliers` (same lower-median rank, same
+    (value, id) total order, same single-op float gate)."""
+    return f"""
+    WITH t AS (
+      SELECT {group_col} AS g, {value_col} AS v, {id_col} AS i,
+             row_number() OVER (PARTITION BY {group_col}
+                                ORDER BY {value_col}, {id_col}) AS r,
+             count(*) OVER (PARTITION BY {group_col}) AS n
+      FROM ({src_sql})
+    ),
+    med AS (SELECT g, v AS med FROM t WHERE r = (n + 1) // 2),
+    dev AS (
+      SELECT t.g, t.v, t.i, t.n, med.med, abs(t.v - med.med) AS d
+      FROM t JOIN med USING (g)
+    ),
+    devr AS (
+      SELECT *, row_number() OVER (PARTITION BY g ORDER BY d, i) AS rd
+      FROM dev
+    ),
+    mad AS (SELECT g, d AS mad FROM devr WHERE rd = (n + 1) // 2)
+    SELECT devr.g AS {group_col},
+           CAST(count(*) AS BIGINT) AS n,
+           any_value(devr.med) AS med,
+           any_value(mad.mad) AS mad,
+           CAST(sum(CASE WHEN devr.d > CAST({k} AS DOUBLE) * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+    FROM devr JOIN mad USING (g)
+    GROUP BY devr.g
+    """

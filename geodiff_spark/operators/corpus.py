@@ -634,3 +634,71 @@ def priority_sample_sql(
     SELECT key, w, hk FROM t
     ORDER BY CAST(hk + 1 AS DOUBLE) / w, key LIMIT {k}
     """
+
+
+def url_path_rollup(
+    df: DataFrame,
+    url_col: str,
+    *,
+    max_depth: int = 3,
+) -> DataFrame:
+    """Site-structure rollup: page counts per (domain, depth, path
+    prefix) for every prefix level up to ``max_depth`` — the URL-tree
+    histogram crawl planners read (which sections of a site dominate,
+    where the long tail lives). One row per populated tree node.
+
+    Scale shape: bounded fan-out explode (<= max_depth rows per page,
+    narrow strings) + ONE groupBy with map-side partials — the same
+    spread-once shape as the tile pyramid (spatial/cells.py): a
+    hierarchy rollup is one shuffle, never one per level.
+    """
+    from geodiff_spark.functions.webtext import canonical_url_expr, domain_expr
+
+    canon = canonical_url_expr(F.col(url_col))
+    path = F.regexp_extract(canon, r"^[a-z]+://[^/]+(/[^?#]*)", 1)
+    parts = F.filter(F.split(path, "/"), lambda p: p != "")
+    depth = F.least(F.size(parts), F.lit(max_depth))
+    prefixes = F.when(
+        depth >= 1,
+        F.transform(
+            F.sequence(F.lit(1), depth),
+            lambda i: F.struct(
+                i.cast("long").alias("depth"),
+                F.concat(
+                    F.lit("/"), F.array_join(F.slice(parts, 1, i), "/")
+                ).alias("prefix"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<depth:bigint,prefix:string>>"))
+    return (
+        df.select(domain_expr(canon).alias("domain"), F.explode(prefixes).alias("p"))
+        .groupBy("domain", F.col("p.depth").alias("depth"), F.col("p.prefix").alias("prefix"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pages"))
+    )
+
+
+def url_path_rollup_sql(src_sql: str, url_col: str, *, max_depth: int = 3) -> str:
+    """DuckDB twin of :func:`url_path_rollup`."""
+    from geodiff_spark.functions.webtext import canonical_url_sql, domain_sql
+
+    canon = canonical_url_sql(url_col)
+    return f"""
+    WITH c AS (
+      SELECT {domain_sql('canon')} AS domain,
+             list_filter(str_split(regexp_extract(canon,
+               '^[a-z]+://[^/]+(/[^?#]*)', 1), '/'), p -> p <> '') AS parts
+      FROM (SELECT {canon} AS canon FROM ({src_sql}))
+    ),
+    x AS (
+      SELECT domain,
+             unnest(list_transform(
+               range(1, least(len(parts), {max_depth}) + 1),
+               i -> {{'depth': CAST(i AS BIGINT),
+                      'prefix': '/' || array_to_string(parts[1:i], '/')}}
+             )) AS p
+      FROM c
+    )
+    SELECT domain, p.depth AS depth, p.prefix AS prefix,
+           CAST(count(*) AS BIGINT) AS n_pages
+    FROM x GROUP BY domain, p.depth, p.prefix
+    """

@@ -182,3 +182,103 @@ def layout_stats_sql(
             AND qy_max >= {gy0} AND qy_min < {gy1} AS BIGINT) AS scan
     FROM g
     """
+
+
+def range_cluster_assign(
+    points,
+    lat_col: str,
+    lon_col: str,
+    *,
+    n_parts: int = 8,
+    sample_k: int = 256,
+):
+    """Balanced range clustering on the Z-order key — what
+    ``repartitionByRange`` does internally, made explicit and graded:
+    (1) draw a mergeable bottom-k-by-hash sample of zkeys, (2) cut it
+    at the p/n_parts order statistics to get n_parts-1 boundaries,
+    (3) assign every row pid = #boundaries <= zkey. Returns one row per
+    populated partition: (pid, n_rows, zmin, zmax) — the balance proof
+    and the per-file key ranges a writer would produce.
+
+    Scale shape: the sample is a TakeOrdered (never a global sort); the
+    boundary array is a 1-row broadcast crossJoin; assignment is a
+    narrow codegen filter-count per row; the final stats are ONE
+    groupBy. Exactly the plan a 100 TB OPTIMIZE ZORDER write runs —
+    sample, cut, route, write — with the route step graded bit-exact.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from geodiff_spark.operators.sketch import HLL_SEED, M57, remix57_col
+
+    z = morton_expr(F.col(lat_col), F.col(lon_col))
+    pts = points.select(z.alias("zkey"))
+    hk = remix57_col(F.pmod(F.col("zkey"), F.lit(M57)), HLL_SEED)
+    samp = pts.select("zkey", hk.alias("hk")).orderBy("hk").limit(sample_k)
+    ranked = samp.select(
+        "zkey",
+        F.row_number().over(Window.orderBy("zkey", "hk")).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    bounds = (
+        ranked.filter(
+            F.expr(
+                f"r IN ({', '.join(f'(({p} * m + {n_parts - 1}) div {n_parts})' for p in range(1, n_parts))})"
+            )
+        )
+        .groupBy()
+        .agg(F.sort_array(F.collect_list("zkey")).alias("bs"))
+    )
+    assigned = pts.crossJoin(F.broadcast(bounds)).select(
+        "zkey",
+        F.size(F.filter(F.col("bs"), lambda b: b <= F.col("zkey")))
+        .cast("long")
+        .alias("pid"),
+    )
+    return assigned.groupBy("pid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("zkey").alias("zmin"),
+        F.max("zkey").alias("zmax"),
+    )
+
+
+def range_cluster_assign_sql(
+    src_sql: str,
+    lat: str,
+    lon: str,
+    *,
+    n_parts: int = 8,
+    sample_k: int = 256,
+) -> str:
+    """DuckDB twin of :func:`range_cluster_assign` (same sample, same
+    cut ranks, same boundary comparison)."""
+    from geodiff_spark.operators.sketch import HLL_SEED, M57, remix57_sql
+
+    z = morton_sql(lat, lon)
+    hk = remix57_sql(f"((zkey % {M57}) + {M57}) % {M57}", HLL_SEED)
+    ranks = ", ".join(
+        f"(({p} * m + {n_parts - 1}) // {n_parts})" for p in range(1, n_parts)
+    )
+    return f"""
+    WITH pts AS (SELECT {z} AS zkey FROM ({src_sql})),
+    samp AS (
+      SELECT zkey, {hk} AS hk FROM pts ORDER BY hk LIMIT {sample_k}
+    ),
+    ranked AS (
+      SELECT zkey, row_number() OVER (ORDER BY zkey, hk) AS r,
+             count(*) OVER () AS m
+      FROM samp
+    ),
+    bounds AS (
+      SELECT list_sort(list(zkey)) AS bs FROM ranked
+      WHERE r IN ({ranks})
+    ),
+    assigned AS (
+      SELECT zkey,
+             CAST(len(list_filter(bs, b -> b <= zkey)) AS BIGINT) AS pid
+      FROM pts, bounds
+    )
+    SELECT pid, CAST(count(*) AS BIGINT) AS n_rows,
+           MIN(zkey) AS zmin, MAX(zkey) AS zmax
+    FROM assigned GROUP BY pid
+    """

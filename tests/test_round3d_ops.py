@@ -283,3 +283,75 @@ def test_layout_stats_prune_correctness(spark):
     ).select(zbucket_expr(morton_expr(F.col("lat"), F.col("lon"))).alias("zb"))
     inbox_zb = {r["zb"] for r in inbox.collect()}
     assert inbox_zb.isdisjoint({r["zbucket"] for r in pruned})
+
+
+# --- MAD outliers -----------------------------------------------------------
+
+def test_mad_outliers_python_reference(spark):
+    from geodiff_spark.operators.analytics import mad_outliers
+
+    import random
+
+    rng = random.Random(11)
+    rows = [("g%d" % (i % 3), rng.uniform(0, 100), i) for i in range(300)]
+    rows += [("g0", 10_000.0, 1000), ("g1", -10_000.0, 1001)]  # planted outliers
+    df = spark.createDataFrame(rows, "g string, v double, i long")
+    got = {r["g"]: r for r in mad_outliers(df, "g", "v", "i", k=3.0).collect()}
+    for g in ("g0", "g1", "g2"):
+        vs = sorted((v, i) for gg, v, i in rows if gg == g)
+        n = len(vs)
+        med = vs[(n + 1) // 2 - 1][0]
+        ds = sorted((abs(v - med), i) for gg, v, i in rows if gg == g)
+        mad = ds[(n + 1) // 2 - 1][0]
+        n_out = sum(1 for d, _ in ds if d > 3.0 * mad)
+        r = got[g]
+        assert (r["n"], r["med"], r["mad"], r["n_out"]) == (n, med, mad, n_out), g
+    assert got["g0"]["n_out"] >= 1 and got["g1"]["n_out"] >= 1
+
+
+# --- URL tree ---------------------------------------------------------------
+
+def test_url_path_rollup_counts(spark):
+    from geodiff_spark.operators.corpus import url_path_rollup
+
+    urls = [
+        "https://a.example.com/x/y/z/deep",
+        "https://a.example.com/x/y/other",
+        "https://a.example.com/x/top",
+        "https://b.example.org/solo",
+        "https://b.example.org/",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        (r["domain"], r["depth"], r["prefix"]): r["n_pages"]
+        for r in url_path_rollup(df, "url", max_depth=3).collect()
+    }
+    # domain_expr yields the REGISTRABLE domain (subdomains stripped)
+    assert got[("example.com", 1, "/x")] == 3
+    assert got[("example.com", 2, "/x/y")] == 2
+    assert got[("example.com", 3, "/x/y/z")] == 1
+    assert got[("example.org", 1, "/solo")] == 1
+    # root-only URL contributes no prefix rows; depth never exceeds max
+    assert all(d <= 3 for (_, d, _) in got)
+
+
+# --- range cluster assign ---------------------------------------------------
+
+def test_range_cluster_assign_balance_and_disjoint(spark):
+    from geodiff_spark.spatial.morton import range_cluster_assign
+
+    pts = spark.range(3000).select(
+        ((F.col("id") * 7919 % 16000) / 100.0 - 80.0).alias("lat"),
+        ((F.col("id") * 104729 % 35000) / 100.0 - 175.0).alias("lon"),
+    )
+    stats = sorted(
+        range_cluster_assign(pts, "lat", "lon", n_parts=8, sample_k=512).collect(),
+        key=lambda r: r["pid"],
+    )
+    assert sum(r["n_rows"] for r in stats) == 3000
+    assert len(stats) == 8
+    # partitions hold disjoint, ordered key ranges
+    for a, b in zip(stats, stats[1:]):
+        assert a["zmax"] < b["zmin"]
+    # sampled boundaries keep every partition within 3x of fair share
+    assert max(r["n_rows"] for r in stats) <= 3 * 3000 / 8
