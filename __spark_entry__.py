@@ -3798,6 +3798,53 @@ def _range_assign_sql():
     )
 
 
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization codes (IVF-PQ storage layout): 4 subspace
+    codebooks trained integer-exact, assignment fused into ONE
+    zero-shuffle projection over vector slices — 64 floats -> 4 code
+    ids per vector."""
+    from geodiff_spark.operators.kmeans import pq_codes
+
+    emb = _emb(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    return pq_codes(emb, m=4, k=16, iters=1)
+
+
+def _pq_codes_sql():
+    from geodiff_spark.operators.kmeans import pq_codes_sql
+
+    return pq_codes_sql("embeddings", m=4, k=16, iters=1, dim=64)
+
+
+def q_compaction_plan(spark, sf_dir):
+    """Sorted-layout compaction plan: the zbucket file manifest (from
+    layout_stats' groupBy) cut into ~target-row write groups by the
+    exclusive-prefix-sum closed form — key order preserved, manifest-
+    scale window, the OPTIMIZE step after Z-order clustering."""
+    from geodiff_spark.spatial.morton import compaction_plan, layout_stats
+
+    stats = layout_stats(
+        _customers_geo(spark, sf_dir), "lat", "lon", bbox=_PRUNE_BBOX
+    ).select("zbucket", "n_rows")
+    return compaction_plan(stats, "zbucket", "n_rows", target=64)
+
+
+def _compaction_plan_sql():
+    from geodiff_spark.spatial.morton import (
+        compaction_plan_sql,
+        layout_stats_sql,
+    )
+
+    stats = layout_stats_sql(
+        "SELECT c_custkey FROM customer", _LAT, _LON, bbox=_PRUNE_BBOX
+    )
+    return compaction_plan_sql(
+        f"SELECT zbucket, n_rows FROM ({stats})", "zbucket", "n_rows",
+        target=64,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "diff_changeset": q_diff_changeset,
@@ -3912,6 +3959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "url_tree": q_url_tree,
         "range_assign": q_range_assign,
+        "pq_codes": q_pq_codes,
+        "compaction_plan": q_compaction_plan,
     }
 
 
@@ -4032,4 +4081,6 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers": _mad_outliers_sql(),
         "url_tree": _url_tree_sql(),
         "range_assign": _range_assign_sql(),
+        "pq_codes": _pq_codes_sql(),
+        "compaction_plan": _compaction_plan_sql(),
     }

@@ -285,3 +285,110 @@ def kmeans_centroids_sql(
         + "\nSELECT cid, list_transform(c, x -> CAST(x AS DOUBLE)"
         + f" / {float(scale)}) AS centroid FROM {final_c} t"
     )
+
+
+def _dist_between(qcol: Column, c: list[int]) -> Column:
+    """Integer squared distance between an array column and a literal
+    centroid (the generalization of _dist_to's fixed "q" column)."""
+    lit = F.array(*[F.lit(int(v)).cast("bigint") for v in c])
+    return F.aggregate(
+        F.zip_with(qcol, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codes(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    iters: int = 1,
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """Product-quantization codes (Jegou et al., the IVF-PQ storage
+    layout every billion-vector ANN index uses): split the vector into
+    ``m`` subspaces, train an integer-exact k-means codebook per
+    subspace, emit each vector's per-subspace nearest-code ids —
+    compressing d floats to m small ints (here 64 floats -> 4 nibbles).
+
+    Scale shape: training syncs m*k centroid rows to the driver (the
+    same bounded contract as kmeans_assign / MLlib); ASSIGNMENT is the
+    part that touches all 10^12 rows, and it is ONE narrow projection —
+    all m codebooks fold into literal array-min expressions over vector
+    slices, zero joins, zero shuffles (a naive per-subspace
+    assign-then-join would cost m key shuffles). Same (dist, cid)
+    tie-break as kmeans_assign, so codes are bit-exact cross-engine.
+    """
+    if not 0 < k <= KMAX:
+        raise ValueError(f"k must be in (0, {KMAX}]")
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    qf = df.select(
+        F.col(id_col), quantize_expr(F.col(vec_col), scale).alias("qf")
+    ).cache()
+    try:
+        code_exprs = []
+        for s in range(m):
+            qs = qf.select(
+                F.col(id_col), F.slice(F.col("qf"), s * sub + 1, sub).alias("q")
+            )
+            cents = _train(qs, id_col, k, iters, scale, sub)
+            sl = F.slice(F.col("qf"), s * sub + 1, sub)
+            best = F.array_min(
+                F.array(
+                    *[
+                        F.struct(
+                            _dist_between(sl, c).alias("dist"),
+                            F.lit(int(cid)).cast("int").alias("cid"),
+                        )
+                        for cid, c in cents
+                    ]
+                )
+            )
+            code_exprs.append(best["cid"].cast("long").alias(f"code_{s}"))
+        return qf.select(id_col, *code_exprs)
+    finally:
+        qf.unpersist()
+
+
+def pq_codes_sql(
+    table: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    iters: int = 1,
+    scale: int = DEFAULT_SCALE,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`pq_codes`: one nested-WITH k-means
+    assignment subquery per subspace (slice -> same unrolled Lloyd
+    CTEs), joined on the vector id."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    parts = []
+    for s in range(m):
+        src = (
+            f"SELECT {id_col}, {vec_col}[{s * sub + 1}:{(s + 1) * sub}] "
+            f"AS {vec_col} FROM {table}"
+        )
+        ctes, _ = kmeans_oracle_ctes(
+            src, id_col=id_col, vec_col=vec_col, k=k, iters=iters,
+            scale=scale, dim=sub,
+        )
+        parts.append(
+            "(WITH " + ",\n".join(ctes)
+            + "\nSELECT id, cid FROM afinal t)"
+        )
+    joins = f"{parts[0]} a0"
+    for s in range(1, m):
+        joins += f" JOIN {parts[s]} a{s} USING (id)"
+    cols = ", ".join(f"CAST(a{s}.cid AS BIGINT) AS code_{s}" for s in range(m))
+    return f"SELECT id AS {id_col}, {cols} FROM {joins}"

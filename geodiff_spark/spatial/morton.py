@@ -282,3 +282,71 @@ def range_cluster_assign_sql(
            MIN(zkey) AS zmin, MAX(zkey) AS zmax
     FROM assigned GROUP BY pid
     """
+
+
+def compaction_plan(
+    file_stats,
+    key_col: str = "zbucket",
+    size_col: str = "n_rows",
+    *,
+    target: int,
+):
+    """Bin-packing plan for compacting small sorted-layout files into
+    target-sized groups — the OPTIMIZE/rewrite-data-files step that
+    follows layout_stats: files (here: zbuckets with row counts) are
+    taken in key order (preserving the z-clustering) and cut into
+    groups where the running size crosses ``target``. Returns one row
+    per group: (group_id, n_files, total_rows, key_min, key_max).
+
+    Group id is the closed form floor(exclusive_prefix_sum / target) —
+    a deterministic, order-based assignment both engines compute
+    identically (a greedy first-fit-decreasing pack is sequential and
+    engine-hostile; the prefix-sum cut is what table formats actually
+    ship for sorted layouts). The window runs over the FILE MANIFEST
+    (bounded by bucket count, <= 2^(32-bits)), never over data rows; at
+    10^12 rows the manifest is ~10^4 entries — driver-scale metadata,
+    planned in one window pass.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    g = (
+        file_stats.select(
+            F.col(key_col).alias("k"), F.col(size_col).cast("long").alias("sz")
+        )
+        .withColumn("csum", F.coalesce(F.sum("sz").over(w), F.lit(0).cast("long")))
+        # exact int64 floor division — `/` would round through a double
+        .withColumn("gid", F.expr(f"csum div {int(target)}"))
+    )
+    return g.groupBy("gid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("sz").cast("long").alias("total_rows"),
+        F.min("k").alias("key_min"),
+        F.max("k").alias("key_max"),
+    ).select(F.col("gid").alias("group_id"), "n_files", "total_rows",
+             "key_min", "key_max")
+
+
+def compaction_plan_sql(
+    stats_sql: str,
+    key_col: str = "zbucket",
+    size_col: str = "n_rows",
+    *,
+    target: int,
+) -> str:
+    """DuckDB twin of :func:`compaction_plan`."""
+    return f"""
+    WITH g AS (
+      SELECT {key_col} AS k, CAST({size_col} AS BIGINT) AS sz,
+             CAST(COALESCE(SUM({size_col}) OVER (
+               ORDER BY {key_col}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) // {target} AS BIGINT) AS gid
+      FROM ({stats_sql})
+    )
+    SELECT gid AS group_id, CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(sz) AS BIGINT) AS total_rows,
+           MIN(k) AS key_min, MAX(k) AS key_max
+    FROM g GROUP BY gid
+    """

@@ -355,3 +355,43 @@ def test_range_cluster_assign_balance_and_disjoint(spark):
         assert a["zmax"] < b["zmin"]
     # sampled boundaries keep every partition within 3x of fair share
     assert max(r["n_rows"] for r in stats) <= 3 * 3000 / 8
+
+
+# --- PQ codes ---------------------------------------------------------------
+
+def test_pq_codes_reconstruction_beats_random(spark):
+    """PQ codes must identify the nearest codebook entry per subspace:
+    with iters such that codebooks = seed vectors, the seed vectors'
+    own codes must be their own index slices (distance 0)."""
+    from geodiff_spark.operators.kmeans import pq_codes
+
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq_codes(df, m=2, k=4, iters=0)  # codebook == first 4 vectors
+    got = {r["vec_id"]: (r["code_0"], r["code_1"]) for r in out.collect()}
+    assert len(got) == 40
+    for i in range(4):  # a seed vector is its own nearest code
+        assert got[i] == (i, i)
+    assert all(0 <= c < 4 for pair in got.values() for c in pair)
+
+
+# --- compaction plan --------------------------------------------------------
+
+def test_compaction_plan_groups(spark):
+    from geodiff_spark.spatial.morton import compaction_plan
+
+    files = [(k, 10) for k in range(10)]  # 10 files x 10 rows, target 25
+    df = spark.createDataFrame(files, "zbucket long, n_rows long")
+    got = sorted(
+        compaction_plan(df, target=25).collect(), key=lambda r: r["group_id"]
+    )
+    # exclusive prefix sums 0,10,..,90 -> gid = ps//25 = 0,0,0,1,1,2,2,2,3,3
+    assert [(r["group_id"], r["n_files"], r["total_rows"]) for r in got] == [
+        (0, 3, 30), (1, 2, 20), (2, 3, 30), (3, 2, 20)
+    ]
+    # groups hold contiguous, ordered key ranges
+    for a, b in zip(got, got[1:]):
+        assert a["key_max"] < b["key_min"]
