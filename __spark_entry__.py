@@ -3845,6 +3845,25 @@ def _compaction_plan_sql():
     )
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Apply the trained BPE merge table to the corpus: exact per-doc
+    token counts under the learned tokenizer (train on the vocab,
+    encode via n broadcast fold rewrites + one per-doc sum — the real
+    token budget, not the regex approximation)."""
+    from geodiff_spark.operators.lm import bpe_encode_counts
+
+    d = _spread_docs(spark, sf_dir)
+    return bpe_encode_counts(d, "doc_id", "text", n_merges=4)
+
+
+def _bpe_encode_sql():
+    from geodiff_spark.operators.lm import bpe_encode_counts_sql
+
+    return bpe_encode_counts_sql(
+        "SELECT doc_id, text FROM documents", "doc_id", "text", n_merges=4
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "diff_changeset": q_diff_changeset,
@@ -3961,6 +3980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_assign": q_range_assign,
         "pq_codes": q_pq_codes,
         "compaction_plan": q_compaction_plan,
+        "bpe_encode": q_bpe_encode,
     }
 
 
@@ -4083,4 +4103,5 @@ def oracle_sql() -> dict[str, str]:
         "range_assign": _range_assign_sql(),
         "pq_codes": _pq_codes_sql(),
         "compaction_plan": _compaction_plan_sql(),
+        "bpe_encode": _bpe_encode_sql(),
     }

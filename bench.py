@@ -342,6 +342,11 @@ def run_suite() -> None:
         "dbscan_clusters", "triangle_counts", "focal_mean",
         "phrase_search", "dsir_weights", "k_core", "rolling_active", "trimmed_stats", "activity_streaks", "pmi_pairs", "hop_distances", "coverage_jaccard", "top_p_mass", "resumable_ranges", "spatial_autocorr",
         "streaming_hll",
+        "bpe_merges", "edit_dedup", "zorder_keys", "zorder_prune",
+        "range_assign", "compaction_plan", "weighted_paths", "hrw_route",
+        "bottomk_quantiles", "kmv_overlap", "priority_sample",
+        "polygon_stats", "mad_outliers", "url_tree", "pq_codes",
+        "bpe_encode",
     ]
     qs = E.queries()
     # warmup at the smallest sf: codegen/JIT caches, python worker pool,

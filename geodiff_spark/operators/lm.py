@@ -535,6 +535,12 @@ def bpe_train(
             F.lit(US), F.array_join(F.split(F.col("w"), ""), US), F.lit(US)
         ).alias("seq"),
     )
+    # per-round lineage truncation: each round's winner is an ACTION
+    # (TakeOrdered), so without checkpoints round r would lazily replay
+    # every earlier fold — O(rounds^2) work and a codegen tower. With
+    # them each round runs exactly once (same discipline as the
+    # iterative graph operators).
+    state = state.localCheckpoint()
     winners = []
     for r in range(1, n_merges + 1):
         counts = (
@@ -551,18 +557,20 @@ def bpe_train(
                 F.element_at(F.split(F.col("pr"), US), 2).alias("right_tok"),
                 F.col("cnt"),
             )
+            .localCheckpoint()
         )
         winners.append(win)
-        state = state.crossJoin(
-            F.broadcast(
-                win.select(
-                    F.col("left_tok").alias("_lt"), F.col("right_tok").alias("_rt")
+        if r < n_merges:
+            state = state.crossJoin(
+                F.broadcast(
+                    win.select(
+                        F.col("left_tok").alias("_lt"), F.col("right_tok").alias("_rt")
+                    )
                 )
-            )
-        ).select(
-            "freq",
-            _merge_fold(F.col("seq"), F.col("_lt"), F.col("_rt")).alias("seq"),
-        )
+            ).select(
+                "freq",
+                _merge_fold(F.col("seq"), F.col("_lt"), F.col("_rt")).alias("seq"),
+            ).localCheckpoint()
     out = winners[0]
     for w in winners[1:]:
         out = out.unionByName(w)
@@ -628,3 +636,109 @@ def bpe_train_sql(
     )""")
     union = " UNION ALL ".join(f"SELECT * FROM w{r}" for r in range(1, n_merges + 1))
     return "WITH " + ",\n".join(parts) + f"\nSELECT * FROM ({union})"
+
+
+def bpe_encode_counts(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_merges: int = 5,
+    max_word_len: int = 16,
+) -> DataFrame:
+    """ENCODE with the trained tokenizer — the other half of the BPE
+    arc: train on the corpus (:func:`bpe_train`), then apply the merge
+    table to every document and report exact token statistics:
+    (id, n_tokens, n_words) — the real token count a budget/packing
+    pipeline needs, vs the whitespace/regex approximations in
+    functions/text.py.
+
+    Scale shape: training cost is vocab-sized (see bpe_train); encoding
+    is the corpus-sized part and it is a chain of ``n_merges`` narrow
+    fold rewrites per WORD with the merge pair broadcast-joined in —
+    zero shuffles besides the final per-doc sum groupBy; the same
+    greedy fold as training, so train/encode tokenizations agree
+    exactly (and with the DuckDB oracle, byte-for-byte).
+    """
+    merges = bpe_train(docs, text_col, n_merges, max_word_len)
+    words = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.split(F.regexp_replace(F.col(text_col), "[^ -~]", ""), r"\s+")
+        ).alias("w"),
+    ).select(
+        "_id", F.substring("w", 1, max_word_len).alias("w")
+    ).filter(F.length("w") > 0)
+    seqs = words.select(
+        "_id",
+        F.concat(
+            F.lit(US), F.array_join(F.split(F.col("w"), ""), US), F.lit(US)
+        ).alias("seq"),
+    )
+    for r in range(1, n_merges + 1):
+        mr = merges.filter(F.col("merge_rank") == r).select(
+            F.col("left_tok").alias("_lt"), F.col("right_tok").alias("_rt")
+        )
+        seqs = seqs.crossJoin(F.broadcast(mr)).select(
+            "_id", _merge_fold(F.col("seq"), F.col("_lt"), F.col("_rt")).alias("seq")
+        )
+    toks = seqs.select(
+        "_id", (F.size(F.split(F.col("seq"), US)) - 2).cast("long").alias("nt")
+    )
+    return toks.groupBy("_id").agg(
+        F.sum("nt").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+    ).select(F.col("_id").alias(id_col), "n_tokens", "n_words")
+
+
+def bpe_encode_counts_sql(
+    docs_sql: str,
+    id_col: str,
+    text_col: str,
+    n_merges: int = 5,
+    max_word_len: int = 16,
+) -> str:
+    """DuckDB twin of :func:`bpe_encode_counts`: the training CTE chain
+    from bpe_train_sql, then the same fold chain applied to the
+    per-document word list."""
+    d = "chr(31)"
+    train = bpe_train_sql(docs_sql, text_col, n_merges, max_word_len)
+    # reuse the training CTE chain: strip the final SELECT, keep WITH body
+    with_body = train[: train.rindex("\nSELECT")]
+    parts = [
+        f"""e0 AS (
+      SELECT _id, {d} || array_to_string(str_split(w, ''), {d}) || {d} AS seq
+      FROM (
+        SELECT _id, substr(x, 1, {max_word_len}) AS w FROM (
+          SELECT {id_col} AS _id, unnest(regexp_split_to_array(
+                   regexp_replace({text_col}, '[^ -~]', '', 'g'), '\\s+')) AS x
+          FROM ({docs_sql})
+        )
+      ) WHERE w <> ''
+    )"""
+    ]
+    for r in range(1, n_merges + 1):
+        fold = f"""list_reduce(
+        list_prepend('', str_split(seq, {d})),
+        (acc, x) -> CASE
+          WHEN x = '' THEN acc
+          WHEN acc = '' THEN {d} || x
+          WHEN NOT ends_with(acc, {d})
+               AND ends_with(acc, {d} || w{r}.left_tok) AND x = w{r}.right_tok
+            THEN acc || x || {d}
+          WHEN ends_with(acc, {d}) THEN acc || x
+          ELSE acc || {d} || x END)"""
+        parts.append(f"""e{r} AS (
+      SELECT _id,
+             CASE WHEN NOT ends_with({fold}, {d}) THEN {fold} || {d}
+                  ELSE {fold} END AS seq
+      FROM e{r - 1}, w{r}
+    )""")
+    return (
+        with_body + ",\n" + ",\n".join(parts)
+        + f"""
+    SELECT _id AS {id_col},
+           CAST(SUM(len(str_split(seq, {d})) - 2) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_words
+    FROM e{n_merges} GROUP BY _id
+    """
+    )

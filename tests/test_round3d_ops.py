@@ -395,3 +395,56 @@ def test_compaction_plan_groups(spark):
     # groups hold contiguous, ordered key ranges
     for a, b in zip(got, got[1:]):
         assert a["key_max"] < b["key_min"]
+
+
+# --- BPE encode -------------------------------------------------------------
+
+def test_bpe_encode_python_reference(spark):
+    """Train+encode must match a direct Python implementation of
+    Sennrich's greedy merge on a tiny corpus."""
+    from geodiff_spark.operators.lm import bpe_encode_counts
+
+    docs = [
+        (0, "low lower lowest low low"),
+        (1, "new newer newest new"),
+        (2, "low new low new low"),
+    ]
+    n_merges = 3
+
+    # python reference ------------------------------------------------
+    from collections import Counter
+
+    wf = Counter(w for _, t in docs for w in t.split())
+    state = {w: list(w) for w in wf}
+
+    def pairs(seq):
+        return list(zip(seq, seq[1:]))
+
+    merges = []
+    for _ in range(n_merges):
+        c = Counter()
+        for w, seq in state.items():
+            for p in pairs(seq):
+                c[p] += wf[w]
+        # max count, ties by pair string ascending (US-joined)
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0][0] + "\x1f" + kv[0][1]))[0]
+        merges.append(best)
+        for w, seq in state.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and (seq[i], seq[i + 1]) == best:
+                    out.append(seq[i] + seq[i + 1]); i += 2
+                else:
+                    out.append(seq[i]); i += 1
+            state[w] = out
+    want = {}
+    for did, t in docs:
+        ws = t.split()
+        want[did] = (sum(len(state[w]) for w in ws), len(ws))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_words"])
+        for r in bpe_encode_counts(df, "doc_id", "text", n_merges=n_merges).collect()
+    }
+    assert got == want
