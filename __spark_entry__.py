@@ -3864,6 +3864,86 @@ def _bpe_encode_sql():
     )
 
 
+def q_polyline_perimeter(spark, sf_dir):
+    """Planar ring perimeter via ORDER-PINNED sequential float folds
+    (per-edge sqrt terms added in index order — bit-identical
+    cross-engine, unlike an unordered SUM); zero shuffle."""
+    from geodiff_spark.spatial.measure import ring_perimeter
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey")
+    n = n.withColumn("blon", F.expr(_QLON)).withColumn("blat", F.expr(_QLAT))
+    ring = F.array(*[
+        F.struct(
+            (F.col("blon") + F.lit(dx)).alias("lon"),
+            (F.col("blat") + F.lit(dy)).alias("lat"),
+        )
+        for dx, dy in _PENT
+    ])
+    return n.select("n_nationkey", ring_perimeter(ring).alias("perimeter"))
+
+
+def _polyline_perimeter_sql():
+    from geodiff_spark.spatial.measure import ring_perimeter_sql
+
+    ring = (
+        "["
+        + ", ".join(
+            f"{{'lon': {_QLON} + CAST({dx} AS DOUBLE), "
+            f"'lat': {_QLAT} + CAST({dy} AS DOUBLE)}}"
+            for dx, dy in _PENT
+        )
+        + "]"
+    )
+    return (
+        f"SELECT n_nationkey, {ring_perimeter_sql(ring)} AS perimeter "
+        "FROM nation"
+    )
+
+
+_V2_SHIFT = "CASE WHEN c_custkey % 37 = 0 THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+
+
+def q_recluster_plan(spark, sf_dir):
+    """Diff-driven incremental re-cluster plan: full-outer join of two
+    snapshots' zbucket manifests, changed buckets classified
+    insert/update/delete — geodiff's changeset semantics applied to the
+    LAYOUT layer, so OPTIMIZE touches |changeset| buckets, not the
+    table."""
+    from geodiff_spark.spatial.morton import layout_stats, recluster_plan
+
+    stat_cols = ["zbucket", "n_rows", "qx_min", "qx_max", "qy_min", "qy_max"]
+    v1 = _customers_geo(spark, sf_dir)
+    v2 = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey")
+        .filter(F.expr("c_custkey % 50 <> 0"))
+        .withColumn("lat", F.expr(f"({_LAT}) + ({_V2_SHIFT})"))
+        .withColumn("lon", F.expr(_LON))
+    )
+    s1 = layout_stats(v1, "lat", "lon", bbox=_PRUNE_BBOX).select(stat_cols)
+    s2 = layout_stats(v2, "lat", "lon", bbox=_PRUNE_BBOX).select(stat_cols)
+    return recluster_plan(s1, s2)
+
+
+def _recluster_plan_sql():
+    from geodiff_spark.spatial.morton import (
+        layout_stats_sql,
+        recluster_plan_sql,
+    )
+
+    s1 = layout_stats_sql(
+        "SELECT c_custkey FROM customer", _LAT, _LON, bbox=_PRUNE_BBOX
+    )
+    s2 = layout_stats_sql(
+        "SELECT c_custkey FROM customer WHERE c_custkey % 50 <> 0",
+        f"(({_LAT}) + ({_V2_SHIFT}))", _LON, bbox=_PRUNE_BBOX,
+    )
+    cols = "zbucket, n_rows, qx_min, qx_max, qy_min, qy_max"
+    return recluster_plan_sql(
+        f"SELECT {cols} FROM ({s1})", f"SELECT {cols} FROM ({s2})"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "diff_changeset": q_diff_changeset,
@@ -3981,6 +4061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "compaction_plan": q_compaction_plan,
         "bpe_encode": q_bpe_encode,
+        "polyline_perimeter": q_polyline_perimeter,
+        "recluster_plan": q_recluster_plan,
     }
 
 
@@ -4104,4 +4186,6 @@ def oracle_sql() -> dict[str, str]:
         "pq_codes": _pq_codes_sql(),
         "compaction_plan": _compaction_plan_sql(),
         "bpe_encode": _bpe_encode_sql(),
+        "polyline_perimeter": _polyline_perimeter_sql(),
+        "recluster_plan": _recluster_plan_sql(),
     }

@@ -103,3 +103,47 @@ def ring_measures_sql(ring: str) -> str:
         "'n_vertices': CAST(_n AS BIGINT)} "
         f"FROM {base})"
     )
+
+
+def ring_perimeter(ring: Column) -> Column:
+    """Planar perimeter of a closed ring (degrees): Σ sqrt(dx²+dy²)
+    over edges INCLUDING the wrap edge. Floats are safe here because
+    the evaluation order is PINNED: F.aggregate folds the edge list
+    sequentially (index 1..n), +/*/- are single IEEE ops and sqrt is
+    IEEE-exact-rounded — DuckDB's list_reduce folds in the same order,
+    so the accumulated double is bit-identical cross-engine (unordered
+    SUM() of the same terms would NOT be). Unquantized vertices: this
+    is a measure, not a join key."""
+    n = F.size(ring)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def edge(i):
+        a = F.element_at(ring, i)
+        b = F.element_at(ring, _wrap(i, n))
+        dx = b["lon"] - a["lon"]
+        dy = b["lat"] - a["lat"]
+        return F.sqrt(dx * dx + dy * dy)
+
+    return F.aggregate(
+        idx, F.lit(0.0).cast("double"), lambda acc, i: acc + edge(i)
+    )
+
+
+def ring_perimeter_sql(ring: str) -> str:
+    """DuckDB twin of :func:`ring_perimeter` — the edge lengths are
+    materialized in index order, then left-folded from a 0.0 seed: the
+    identical sequence of IEEE additions as the Spark aggregate."""
+    edge = (
+        "sqrt((_r[(i % _n) + 1].lon - _r[i].lon) * (_r[(i % _n) + 1].lon - _r[i].lon)"
+        " + (_r[(i % _n) + 1].lat - _r[i].lat) * (_r[(i % _n) + 1].lat - _r[i].lat))"
+    )
+    return f"""(
+      SELECT list_reduce(
+        list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(range(1, _n + 1), i -> {edge})),
+        (acc, x) -> acc + x
+      )
+      FROM (SELECT {ring} AS _r, len({ring}) AS _n)
+    )"""

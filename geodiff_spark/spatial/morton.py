@@ -350,3 +350,70 @@ def compaction_plan_sql(
            MIN(k) AS key_min, MAX(k) AS key_max
     FROM g GROUP BY gid
     """
+
+
+def recluster_plan(
+    stats_v1,
+    stats_v2,
+    key_col: str = "zbucket",
+):
+    """Diff-driven incremental re-cluster planning — the layout layer's
+    changeset semantics: full-outer-join two snapshots' per-zbucket
+    manifests (layout_stats output) and emit every bucket whose stats
+    changed, classified insert/update/delete exactly like a row
+    changeset. An OPTIMIZE that consumes this plan rewrites ONLY the
+    touched buckets — |changeset|-cost maintenance of a 100 TB
+    z-clustered table instead of a full re-sort (the same IVM shape as
+    the tile pyramid's delta path).
+
+    One manifest-sized full-outer join; unchanged buckets (the vast
+    majority between neighboring snapshots) drop out.
+    """
+    from pyspark.sql import functions as F
+
+    cols = [c for c in stats_v1.columns if c != key_col]
+    a = stats_v1.select(
+        F.col(key_col).alias("k"),
+        F.struct(*[F.col(c) for c in cols]).alias("a"),
+    )
+    b = stats_v2.select(
+        F.col(key_col).alias("k"),
+        F.struct(*[F.col(c) for c in cols]).alias("b"),
+    )
+    j = a.join(b, "k", "full_outer")
+    op = (
+        F.when(F.col("a").isNull(), F.lit("insert"))
+        .when(F.col("b").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    changed = j.filter(
+        F.col("a").isNull() | F.col("b").isNull() | (F.col("a") != F.col("b"))
+    )
+    return changed.select(
+        F.col("k").alias(key_col),
+        op.alias("op"),
+        F.coalesce(F.col("a.n_rows"), F.lit(0)).cast("long").alias("rows_v1"),
+        F.coalesce(F.col("b.n_rows"), F.lit(0)).cast("long").alias("rows_v2"),
+    )
+
+
+def recluster_plan_sql(
+    stats_v1_sql: str,
+    stats_v2_sql: str,
+    key_col: str = "zbucket",
+    stat_cols: tuple = ("n_rows", "qx_min", "qx_max", "qy_min", "qy_max"),
+) -> str:
+    """DuckDB twin of :func:`recluster_plan` (explicit column-wise
+    change predicate — stat columns are NOT NULL by construction)."""
+    diff = " OR ".join(f"a.{c} <> b.{c}" for c in stat_cols)
+    return f"""
+    WITH a AS ({stats_v1_sql}), b AS ({stats_v2_sql})
+    SELECT COALESCE(a.{key_col}, b.{key_col}) AS {key_col},
+           CASE WHEN a.{key_col} IS NULL THEN 'insert'
+                WHEN b.{key_col} IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           CAST(COALESCE(a.n_rows, 0) AS BIGINT) AS rows_v1,
+           CAST(COALESCE(b.n_rows, 0) AS BIGINT) AS rows_v2
+    FROM a FULL OUTER JOIN b ON a.{key_col} = b.{key_col}
+    WHERE a.{key_col} IS NULL OR b.{key_col} IS NULL OR {diff}
+    """

@@ -448,3 +448,36 @@ def test_bpe_encode_python_reference(spark):
         for r in bpe_encode_counts(df, "doc_id", "text", n_merges=n_merges).collect()
     }
     assert got == want
+
+
+# --- ring perimeter ---------------------------------------------------------
+
+def test_ring_perimeter_rectangle(spark):
+    from geodiff_spark.spatial.measure import ring_perimeter
+
+    ring = [(10.0, 20.0), (13.0, 20.0), (13.0, 24.0), (10.0, 24.0)]
+    df = spark.createDataFrame(
+        [(1, [{"lon": x, "lat": y} for x, y in ring])],
+        "id long, ring array<struct<lon double, lat double>>",
+    )
+    p = df.select(ring_perimeter(F.col("ring")).alias("p")).collect()[0]["p"]
+    assert p == 14.0  # 3+4+3+4, exact in doubles
+
+
+# --- recluster plan ---------------------------------------------------------
+
+def test_recluster_plan_classification(spark):
+    from geodiff_spark.spatial.morton import recluster_plan
+
+    s1 = spark.createDataFrame(
+        [(1, 10, 0, 5), (2, 20, 1, 6), (3, 30, 2, 7)],
+        "zbucket long, n_rows long, qx_min long, qx_max long",
+    )
+    s2 = spark.createDataFrame(
+        [(2, 25, 1, 6), (3, 30, 2, 7), (4, 40, 3, 8)],
+        "zbucket long, n_rows long, qx_min long, qx_max long",
+    )
+    got = {r["zbucket"]: (r["op"], r["rows_v1"], r["rows_v2"])
+           for r in recluster_plan(s1, s2).collect()}
+    # bucket 3 unchanged -> absent; 1 deleted, 2 updated, 4 inserted
+    assert got == {1: ("delete", 10, 0), 2: ("update", 20, 25), 4: ("insert", 0, 40)}
