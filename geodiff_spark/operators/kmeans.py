@@ -83,13 +83,19 @@ def _assign(q: DataFrame, id_col: str, centroids: list[tuple[int, list[int]]]) -
 
 
 def _train(
-    q: DataFrame, id_col: str, k: int, iters: int, scale: int, dim: int
+    q: DataFrame, id_col: str, k: int, iters: int, scale: int, dim: int,
+    seeds: list[tuple[int, list[int]]] | None = None,
 ) -> list[tuple[int, list[int]]]:
     """The Lloyd loop over a quantized (id, q) frame. Per-iteration
     driver sync is k rows of (dim sums + count) — bounded by KMAX, the
-    same contract as MLlib KMeans' own collect."""
-    seed = q.orderBy(id_col).limit(k).collect()
-    centroids = [(i, list(r["q"])) for i, r in enumerate(seed)]
+    same contract as MLlib KMeans' own collect. ``seeds`` (same
+    (cid, centroid) shape) skips the seed collect — pq_codes shares one
+    collect across subspaces."""
+    if seeds is None:
+        seed = q.orderBy(id_col).limit(k).collect()
+        centroids = [(i, list(r["q"])) for i, r in enumerate(seed)]
+    else:
+        centroids = seeds
     for _ in range(iters):
         a = _assign(q, id_col, centroids)
         upd = (
@@ -332,12 +338,20 @@ def pq_codes(
         F.col(id_col), quantize_expr(F.col(vec_col), scale).alias("qf")
     ).cache()
     try:
+        # ONE seed collect serves all m subspaces (the k lowest-id full
+        # vectors, sliced driver-side) — versus m separate TakeOrdered
+        # jobs; _train skips its own seed collect when seeds are given.
+        seed_rows = qf.orderBy(id_col).limit(k).collect()
         code_exprs = []
         for s in range(m):
             qs = qf.select(
                 F.col(id_col), F.slice(F.col("qf"), s * sub + 1, sub).alias("q")
             )
-            cents = _train(qs, id_col, k, iters, scale, sub)
+            seeds = [
+                (i, list(r["qf"][s * sub:(s + 1) * sub]))
+                for i, r in enumerate(seed_rows)
+            ]
+            cents = _train(qs, id_col, k, iters, scale, sub, seeds=seeds)
             sl = F.slice(F.col("qf"), s * sub + 1, sub)
             best = F.array_min(
                 F.array(
