@@ -481,3 +481,52 @@ def test_recluster_plan_classification(spark):
            for r in recluster_plan(s1, s2).collect()}
     # bucket 3 unchanged -> absent; 1 deleted, 2 updated, 4 inserted
     assert got == {1: ("delete", 10, 0), 2: ("update", 20, 25), 4: ("insert", 0, 40)}
+
+
+# --- plan gates for the layout family --------------------------------------
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_zorder_and_hrw_plans_zero_exchange(spark):
+    """Per-row layout/routing kernels must be pure narrow projections:
+    no Exchange, no Join, no Python UDF (whole-stage codegen only)."""
+    from geodiff_spark.operators.skew import hrw_shard_expr
+    from geodiff_spark.spatial.morton import morton_expr
+
+    pts = spark.range(100).select(
+        (F.col("id") % 90 - 45.0).alias("lat"), (F.col("id") % 180 - 90.0).alias("lon")
+    )
+    p1 = _plan(pts.select(morton_expr(F.col("lat"), F.col("lon")).alias("z")))
+    df = spark.range(100).select(F.col("id").alias("k"))
+    p2 = _plan(df.select(hrw_shard_expr(F.pmod(F.col("k"), F.lit(1 << 57)), 8).alias("s")))
+    for p in (p1, p2):
+        assert "Exchange" not in p and "Join" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_layout_stats_single_exchange(spark):
+    """The manifest builder is ONE aggregation: exactly one Exchange
+    (the groupBy(zbucket)), map-side partial aggregation present."""
+    from geodiff_spark.spatial.morton import layout_stats
+
+    pts = spark.range(1000).select(
+        (F.col("id") % 90 - 45.0).alias("lat"), (F.col("id") % 180 - 90.0).alias("lon")
+    )
+    plan = _plan(layout_stats(pts, "lat", "lon", bbox=(-30.0, 10.0, 40.0, 50.0)))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial" in plan.lower()
+
+
+def test_range_assign_broadcasts_boundaries(spark):
+    """The per-row route step must consume the boundary array via a
+    broadcast nested-loop (1-row build side), never a shuffle join."""
+    from geodiff_spark.spatial.morton import range_cluster_assign
+
+    pts = spark.range(1000).select(
+        (F.col("id") % 90 - 45.0).alias("lat"), (F.col("id") % 180 - 90.0).alias("lon")
+    )
+    plan = _plan(range_cluster_assign(pts, "lat", "lon", n_parts=4, sample_k=64))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
