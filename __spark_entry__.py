@@ -3944,6 +3944,31 @@ def _recluster_plan_sql():
     )
 
 
+def q_assoc_rules(spark, sf_dir):
+    """Market-basket association rules over per-user event item baskets
+    (props 'k' values): pair support + integer-exact confidences; ONE
+    user-key shuffle + bounded O(cap^2) in-task pair explode + two
+    map-side-combining groupBys."""
+    from geodiff_spark.operators.analytics import assoc_rules
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.regexp_extract(F.col("props"), "[0-9]+", 0).cast("long").alias("item"),
+    )
+    return assoc_rules(ev, "user_id", "item", max_items_per_user=12,
+                       min_support=4)
+
+
+def _assoc_rules_sql():
+    from geodiff_spark.operators.analytics import assoc_rules_sql
+
+    return assoc_rules_sql(
+        "SELECT user_id, CAST(regexp_extract(props, '[0-9]+') AS BIGINT)"
+        " AS item FROM events",
+        "user_id", "item", max_items_per_user=12, min_support=4,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "diff_changeset": q_diff_changeset,
@@ -4063,6 +4088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "polyline_perimeter": q_polyline_perimeter,
         "recluster_plan": q_recluster_plan,
+        "assoc_rules": q_assoc_rules,
     }
 
 
@@ -4188,4 +4214,5 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_encode_sql(),
         "polyline_perimeter": _polyline_perimeter_sql(),
         "recluster_plan": _recluster_plan_sql(),
+        "assoc_rules": _assoc_rules_sql(),
     }

@@ -247,3 +247,130 @@ def mad_outliers_sql(
     FROM devr JOIN mad USING (g)
     GROUP BY devr.g
     """
+
+
+ASSOC_SCALE = 1_000_000
+
+
+def assoc_rules(
+    df: DataFrame,
+    user_col: str,
+    item_col: str,
+    *,
+    max_items_per_user: int = 20,
+    min_support: int = 3,
+) -> DataFrame:
+    """Association-rule mining at the pair level (the market-basket
+    support/confidence classic; co-occurrence signal for recommenders
+    and query-expansion): for every ordered item pair (a < b) appearing
+    in >= min_support user baskets, emit support and both conditional
+    confidences as integer-scaled exact ratios.
+
+    Scale shape (the FP-growth-free subset that distributes cleanly):
+    baskets collapse to distinct (user, item) with a DETERMINISTIC
+    per-user cap (rank by item — the same bounded fan-out discipline as
+    pmi_collocations: pair explode is O(cap^2) per user, never
+    unbounded); ONE user-key shuffle builds sorted baskets, pairs
+    explode in-task via a nested array lambda, and two groupBys
+    (pair counts, item counts) with map-side partials finish it. The
+    confidence division is integer two-step DIV — exact cross-engine.
+    """
+    t = (
+        df.select(F.col(user_col).alias("u"), F.col(item_col).alias("it"))
+        .distinct()
+    )
+    w = Window.partitionBy("u").orderBy("it")
+    capped = t.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= max_items_per_user
+    )
+    baskets = capped.groupBy("u").agg(
+        F.sort_array(F.collect_list("it")).alias("items")
+    )
+    # guard: Spark's sequence(1, 0) DESCENDS — single-item baskets must
+    # produce an empty pair list
+    idx = F.when(
+        F.size("items") >= 2, F.sequence(F.lit(1), F.size("items") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    idx,
+                    lambda i: F.transform(
+                        F.slice(F.col("items"), i + 1, F.size("items")),
+                        lambda y: F.struct(
+                            F.element_at(F.col("items"), i).alias("a"),
+                            y.alias("b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    pair_counts = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pair")
+    ).filter(F.col("n_pair") >= min_support)
+    item_counts = capped.groupBy("it").agg(
+        F.count(F.lit(1)).cast("long").alias("n_it")
+    )
+    out = (
+        pair_counts.join(item_counts.withColumnRenamed("it", "a"), "a")
+        .withColumnRenamed("n_it", "n_a")
+        .join(item_counts.withColumnRenamed("it", "b"), "b")
+        .withColumnRenamed("n_it", "n_b")
+    )
+    return out.select(
+        F.col("a").alias("item_a"),
+        F.col("b").alias("item_b"),
+        "n_pair", "n_a", "n_b",
+        F.expr(f"(n_pair * {ASSOC_SCALE}) div n_a").alias("conf_ab"),
+        F.expr(f"(n_pair * {ASSOC_SCALE}) div n_b").alias("conf_ba"),
+    )
+
+
+def assoc_rules_sql(
+    src_sql: str,
+    user_col: str,
+    item_col: str,
+    *,
+    max_items_per_user: int = 20,
+    min_support: int = 3,
+) -> str:
+    """DuckDB twin of :func:`assoc_rules` (same cap, same sorted-pair
+    enumeration, same integer confidence)."""
+    return f"""
+    WITH t AS (
+      SELECT DISTINCT {user_col} AS u, {item_col} AS it FROM ({src_sql})
+    ),
+    capped AS (
+      SELECT u, it FROM (
+        SELECT u, it, row_number() OVER (PARTITION BY u ORDER BY it) AS _r
+        FROM t
+      ) WHERE _r <= {max_items_per_user}
+    ),
+    baskets AS (
+      SELECT u, list_sort(list(it)) AS items FROM capped GROUP BY u
+    ),
+    pairs AS (
+      SELECT p.a AS a, p.b AS b FROM (
+        SELECT unnest(flatten(list_transform(
+          range(1, len(items)),
+          i -> list_transform(items[i + 1:],
+                              y -> {{'a': items[i], 'b': y}})
+        ))) AS p
+        FROM baskets
+      )
+    ),
+    pc AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS n_pair FROM pairs
+      GROUP BY a, b HAVING count(*) >= {min_support}
+    ),
+    ic AS (
+      SELECT it, CAST(count(*) AS BIGINT) AS n_it FROM capped GROUP BY it
+    )
+    SELECT pc.a AS item_a, pc.b AS item_b, pc.n_pair,
+           ia.n_it AS n_a, ib.n_it AS n_b,
+           CAST((pc.n_pair * {ASSOC_SCALE}) // ia.n_it AS BIGINT) AS conf_ab,
+           CAST((pc.n_pair * {ASSOC_SCALE}) // ib.n_it AS BIGINT) AS conf_ba
+    FROM pc JOIN ic ia ON pc.a = ia.it JOIN ic ib ON pc.b = ib.it
+    """

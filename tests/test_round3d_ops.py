@@ -530,3 +530,38 @@ def test_range_assign_broadcasts_boundaries(spark):
     plan = _plan(range_cluster_assign(pts, "lat", "lon", n_parts=4, sample_k=64))
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# --- association rules ------------------------------------------------------
+
+def test_assoc_rules_python_reference(spark):
+    from itertools import combinations
+
+    from geodiff_spark.operators.analytics import ASSOC_SCALE, assoc_rules
+
+    rows = [
+        (1, "x"), (1, "y"), (1, "z"),
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "y"), (3, "w"),
+        (4, "x"), (4, "z"),
+        (4, "x"),  # duplicate must not double-count
+    ]
+    df = spark.createDataFrame(rows, "u long, it string")
+    got = {
+        (r["item_a"], r["item_b"]): (r["n_pair"], r["n_a"], r["n_b"], r["conf_ab"], r["conf_ba"])
+        for r in assoc_rules(df, "u", "it", max_items_per_user=10, min_support=2).collect()
+    }
+    baskets = {}
+    for u, it in rows:
+        baskets.setdefault(u, set()).add(it)
+    from collections import Counter
+
+    pc, ic = Counter(), Counter()
+    for items in baskets.values():
+        ic.update(items)
+        pc.update(combinations(sorted(items), 2))
+    want = {}
+    for (a, b), n in pc.items():
+        if n >= 2:
+            want[(a, b)] = (n, ic[a], ic[b], n * ASSOC_SCALE // ic[a], n * ASSOC_SCALE // ic[b])
+    assert got == want and ("x", "y") in got and got[("x", "y")][0] == 3
