@@ -346,7 +346,7 @@ def run_suite() -> None:
         "range_assign", "compaction_plan", "weighted_paths", "hrw_route",
         "bottomk_quantiles", "kmv_overlap", "priority_sample",
         "polygon_stats", "mad_outliers", "url_tree", "pq_codes",
-        "bpe_encode",
+        "bpe_encode", "polyline_perimeter", "recluster_plan", "assoc_rules",
     ]
     qs = E.queries()
     # warmup at the smallest sf: codegen/JIT caches, python worker pool,
