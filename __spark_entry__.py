@@ -3343,6 +3343,121 @@ def _twap_sql():
     return time_weighted_avg_sql("events", "user_id", "ts", "value", "event_id")
 
 
+def q_topk_delta(spark, sf_dir):
+    """Incremental per-customer top-5 orders: diff two order snapshots
+    with the REAL diff operator, then refresh the materialized top-k
+    for exactly the touched customers (≤2|changeset| broadcast keys +
+    one WindowGroupLimit). The oracle recomputes the touched set from
+    the snapshots the expensive way — an independent cross-check of
+    the IVM path."""
+    from geodiff_spark.operators.retrieval import group_topk_refresh
+
+    cs = diff_table(
+        _base_orders(spark, sf_dir), _mod_orders(spark, sf_dir), ORDERS_INFO
+    )
+    return group_topk_refresh(
+        _base_orders(spark, sf_dir), cs.df,
+        "o_custkey", "o_totalprice", "o_orderkey", k=5,
+    )
+
+
+def _topk_delta_sql():
+    from geodiff_spark.operators.retrieval import group_topk_refresh_sql
+
+    return group_topk_refresh_sql(
+        _BASE_SQL, _MOD_SQL,
+        "o_custkey", "o_totalprice", "o_orderkey",
+        ("o_custkey", "o_totalprice", "o_orderpriority"), k=5,
+    )
+
+
+def q_record_linkage(spark, sf_dir):
+    """Blocked record linkage over documents: candidates share
+    (lang, source, length-bucket), scored by exact token Jaccard and
+    gated integer-only (100*inter >= tau*union). One blocking-key
+    shuffle; per-block quadratic capped by max_block_size."""
+    from geodiff_spark.operators.dedup import record_linkage
+
+    d = _spread_docs(spark, sf_dir)
+    return record_linkage(
+        d,
+        block_cols=("lang", "source"),
+        len_bucket=64,
+        tau_pct=30,
+        max_block_size=2_000,
+    )
+
+
+def _record_linkage_sql():
+    from geodiff_spark.operators.dedup import record_linkage_sql
+
+    return record_linkage_sql(
+        "SELECT * FROM documents",
+        block_cols=("lang", "source"),
+        len_bucket=64,
+        tau_pct=30,
+        max_block_size=2_000,
+    )
+
+
+_LP_LINKS = ((7, 1), (5, 3))  # intra-block affine link params
+
+
+def q_label_prop(spark, sf_dir):
+    """Deterministic synchronous label propagation (community
+    detection) over a synthesized block-community link graph (docs
+    wired only within id-blocks of 16: a ring edge + two affine
+    families). Fixed rounds + smallest-label tie-break: exactly
+    reproducible, unlike classic async LPA. Two linear shuffles per
+    round, argmax as one struct-max aggregate (no window)."""
+    from geodiff_spark.operators.graph import label_prop
+
+    d = _spread_docs(spark, sf_dir).select(F.col("doc_id").alias("i"))
+    blk = F.expr("(i div 16) * 16")
+    fams = [blk + (F.col("i") + 1) % 16] + [
+        blk + (F.col("i") * a + b) % 16 for a, b in _LP_LINKS
+    ]
+    edges = None
+    for f_dst in fams:
+        e = d.select(F.col("i").alias("src"), f_dst.alias("dst"))
+        edges = e if edges is None else edges.unionByName(e)
+    return label_prop(edges, d.select(F.col("i").alias("node")), iters=4)
+
+
+def _label_prop_sql():
+    from geodiff_spark.operators.graph import label_prop_sql
+
+    fams = ["(doc_id + 1) % 16"] + [
+        f"(doc_id * {a} + {b}) % 16" for a, b in _LP_LINKS
+    ]
+    edges = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id // 16) * 16 + {f} AS dst"
+        " FROM documents"
+        for f in fams
+    )
+    return label_prop_sql("SELECT doc_id AS node FROM documents", edges, iters=4)
+
+
+def q_gap_fill(spark, sf_dir):
+    """Fixed-grid resample + LOCF: each user's irregular event series
+    densified onto an hourly grid, values carried forward between
+    events (integer-scaled; floats never cross the graded boundary).
+    3 linear key shuffles — grid via sequence-explode, LOCF via the
+    union-then-window trick (no range join, no explosion)."""
+    from geodiff_spark.operators.temporal import gap_fill
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return gap_fill(ev, "user_id", "ts", "value", "event_id", step_s=3600)
+
+
+def _gap_fill_sql():
+    from geodiff_spark.operators.temporal import gap_fill_sql
+
+    return gap_fill_sql(
+        "events", "user_id", "ts", "value", "event_id", step_s=3600
+    )
+
+
 def q_pareto_docs(spark, sf_dir):
     """Skyline selection: documents not dominated on (length, quality)
     — simultaneously long AND high-quality without a hand-tuned scalar
@@ -4066,6 +4181,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_autocorr": q_spatial_autocorr,
         "markov_transitions": q_markov_transitions,
         "twap": q_twap,
+        "gap_fill": q_gap_fill,
+        "label_prop": q_label_prop,
+        "record_linkage": q_record_linkage,
+        "topk_delta": q_topk_delta,
         "pareto_docs": q_pareto_docs,
         "ols_trend": q_ols_trend,
         "bloom_filter": q_bloom_filter,
@@ -4192,6 +4311,10 @@ def oracle_sql() -> dict[str, str]:
         "spatial_autocorr": _spatial_autocorr_sql(),
         "markov_transitions": _markov_transitions_sql(),
         "twap": _twap_sql(),
+        "gap_fill": _gap_fill_sql(),
+        "label_prop": _label_prop_sql(),
+        "record_linkage": _record_linkage_sql(),
+        "topk_delta": _topk_delta_sql(),
         "pareto_docs": _pareto_docs_sql(),
         "ols_trend": _ols_trend_sql(),
         "bloom_filter": _bloom_filter_sql(),

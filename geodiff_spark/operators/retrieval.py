@@ -491,3 +491,136 @@ def phrase_occurrences_sql(
     ) WHERE {conds}
     GROUP BY {id_col}
     """
+
+
+def group_topk_refresh(
+    base: DataFrame,
+    cs: DataFrame,
+    group_col: str,
+    val_col: str,
+    pk_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Incremental maintenance of a per-group top-k view: given the
+    BASE snapshot and a changeset in the diff_table convention (``op``
+    + ``old_``/``new_``-prefixed columns where an update row carries
+    ONLY its changed columns — unchanged ones are Undefined/NULL,
+    operators/diff.py:142), emit the refreshed top-k rows for exactly
+    the groups the changeset touches (both the old and the new group
+    of moved rows). Untouched groups' materialized top-k stays valid —
+    the caller overwrites only the returned groups.
+
+    Update rows are reconstructed by patching the base row with the
+    non-NULL ``new_*`` values (apply semantics, one broadcast-changeset
+    join on the PK) — reading the sparse update columns directly would
+    silently drop rows whose group or value did not change.
+
+    Cost is proportional to the touched groups' rows, NOT the corpus:
+    top-k is not fully incrementalizable (a deletion out of the top-k
+    forces a group rescan), so per-group rescan of touched groups is
+    the optimal refresh granularity. The changeset and the ≤
+    2·|changeset| touched-group keys are explicitly broadcast (a 10 TB
+    changeset should shard by group first); the rescan itself is a
+    semi-join + ONE WindowGroupLimit shuffle. Ranks tie-break on the
+    primary key for determinism.
+    """
+    og_c, ng_c = f"old_{group_col}", f"new_{group_col}"
+    nv_c, npk_c, opk_c = f"new_{val_col}", f"new_{pk_col}", f"old_{pk_col}"
+
+    ins = cs.filter(F.col("op") == "insert").select(
+        F.col(npk_c).alias(pk_col),
+        F.col(ng_c).alias(group_col),
+        F.col(nv_c).alias(val_col),
+    )
+    dels = cs.filter(F.col("op") == "delete").select(
+        F.col(og_c).alias("_g")
+    )
+    upd = cs.filter(F.col("op") == "update").select(
+        F.col(opk_c).alias("_pk"),
+        F.col(ng_c).alias("_ng"),
+        F.col(nv_c).alias("_nv"),
+    )
+    # patch: update rows carry only changed columns, so group/value
+    # fall back to the base row (one broadcast join on the PK)
+    upd_full = base.join(
+        F.broadcast(upd), base[pk_col] == upd["_pk"]
+    ).select(
+        F.col(pk_col),
+        F.coalesce("_ng", group_col).alias("_g_new"),
+        F.coalesce("_nv", val_col).alias("_v_new"),
+        F.col(group_col).alias("_g_old"),
+    )
+    touched = (
+        ins.select(F.col(group_col).alias("_g"))
+        .unionByName(dels)
+        .unionByName(upd_full.select(F.col("_g_new").alias("_g")))
+        .unionByName(upd_full.select(F.col("_g_old").alias("_g")))
+        .filter(F.col("_g").isNotNull())
+        .distinct()
+    )
+    removed = cs.filter(F.col("op").isin("delete", "update")).select(
+        F.col(opk_c).alias(pk_col)
+    )
+    state = (
+        base.join(F.broadcast(touched), base[group_col] == touched["_g"])
+        .drop("_g")
+        .select(pk_col, group_col, val_col)
+        .join(F.broadcast(removed), pk_col, "left_anti")
+        .unionByName(
+            upd_full.select(
+                pk_col,
+                F.col("_g_new").alias(group_col),
+                F.col("_v_new").alias(val_col),
+            )
+        )
+        .unionByName(ins)
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(val_col).desc(), F.col(pk_col).asc()
+    )
+    return (
+        state.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select(group_col, "rank", pk_col, val_col)
+    )
+
+
+def group_topk_refresh_sql(
+    base_sql: str,
+    mod_sql: str,
+    group_col: str,
+    val_col: str,
+    pk_col: str,
+    attr_cols: tuple[str, ...],
+    k: int = 5,
+) -> str:
+    """DuckDB twin of :func:`group_topk_refresh` — deliberately the
+    EXPENSIVE independent path: recompute the changed-row set from the
+    two snapshots (full outer + IS DISTINCT FROM over ``attr_cols``,
+    the diff operator's changed-row predicate restated), then rank the
+    touched groups directly off the modified snapshot."""
+    diffs = " OR ".join(
+        f"b.{c} IS DISTINCT FROM m.{c}" for c in attr_cols
+    )
+    return f"""
+    WITH base AS ({base_sql}), mod AS ({mod_sql}),
+    ch AS (
+      SELECT b.{group_col} AS og, m.{group_col} AS ng
+      FROM base b FULL OUTER JOIN mod m ON b.{pk_col} = m.{pk_col}
+      WHERE b.{pk_col} IS NULL OR m.{pk_col} IS NULL OR {diffs}
+    ),
+    touched AS (
+      SELECT DISTINCT g FROM (
+        SELECT og AS g FROM ch UNION ALL SELECT ng FROM ch
+      ) WHERE g IS NOT NULL
+    ),
+    r AS (
+      SELECT m.{group_col}, m.{pk_col}, m.{val_col},
+             CAST(ROW_NUMBER() OVER (PARTITION BY m.{group_col}
+                                     ORDER BY m.{val_col} DESC,
+                                              m.{pk_col}) AS BIGINT) AS rank
+      FROM mod m JOIN touched t ON m.{group_col} = t.g
+    )
+    SELECT {group_col}, rank, {pk_col}, {val_col}
+    FROM r WHERE rank <= {int(k)}
+    """

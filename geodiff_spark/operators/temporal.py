@@ -674,3 +674,146 @@ def time_weighted_avg_sql(
     FROM d WHERE dur_ms IS NOT NULL
     GROUP BY {key_col}
     """
+
+
+def gap_fill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    tiebreak_col: str,
+    step_s: int = 3600,
+    val_scale: int = 1000,
+) -> DataFrame:
+    """Resample an irregular event series onto a fixed ``step_s``-second
+    grid per key with LOCF (last observation carried forward) — the
+    densification step a telemetry/metrics pipeline needs before
+    windowed math (a raster-like regularization of the time axis, the
+    temporal sibling of the spatial cell grid).
+
+    Semantics: each key's grid spans floor(first_event/step) ..
+    floor(last_event/step) inclusive. A slot's value is the latest
+    event within the slot if one exists (latest by (ts, tiebreak));
+    otherwise the value carried from the nearest earlier slot with an
+    event (``was_filled = 1``). The first grid slot always has an
+    observation by construction, so no leading NULLs exist. Floats
+    never cross the graded boundary: values are integer-scaled with
+    floor() first (floor, not cast — Spark's double→bigint cast
+    truncates, DuckDB's rounds).
+
+    Scale shape: per-(key, slot) dedupe is ONE shuffle (row_number
+    window); grid slots come from a per-key min/max aggregate +
+    ``sequence`` explode (never a driver loop, never a cross join);
+    LOCF is the union-then-window trick (obs rows sort before grid rows
+    inside a slot, one ``last_value IGNORE NULLS`` window) — the same
+    no-range-explosion shape as :func:`asof_join`, so the whole thing
+    is 3 linear key shuffles. Grid size is span/step per key: callers
+    pick ``step_s`` so span/step stays O(events) (the usual telemetry
+    regime); a 100 TB run gap-filling years at 1 s resolution should
+    coarsen or shard the grid, not this operator.
+    """
+    ev = df.select(
+        F.col(key_col).alias("k"),
+        # integer-exact slot index; DIV == DuckDB // for the positive
+        # epochs this grid is defined over
+        F.expr(
+            f"unix_micros(cast({ts_col} as timestamp))"
+            f" div {1_000_000 * int(step_s)}"
+        ).alias("slot"),
+        F.floor(F.col(val_col) * F.lit(int(val_scale))).cast("long").alias("vs"),
+        _micros(F.col(ts_col)).alias("_us"),
+        F.col(tiebreak_col).alias("_tb"),
+    )
+    w = Window.partitionBy("k", "slot").orderBy(
+        F.col("_us").desc(), F.col("_tb").desc()
+    )
+    obs = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("k", "slot", "vs", F.lit(1).alias("_is_obs"))
+    )
+    grid = (
+        obs.groupBy("k")
+        .agg(F.min("slot").alias("_mn"), F.max("slot").alias("_mx"))
+        .select(
+            "k",
+            F.explode(F.sequence(F.col("_mn"), F.col("_mx"))).alias("slot"),
+            F.lit(None).cast("long").alias("vs"),
+            F.lit(0).alias("_is_obs"),
+        )
+    )
+    lw = (
+        Window.partitionBy("k")
+        .orderBy("slot", F.col("_is_obs").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        obs.unionByName(grid)
+        .withColumn("_fv", F.last("vs", ignorenulls=True).over(lw))
+        .withColumn(
+            "_fslot",
+            F.last(
+                F.when(F.col("_is_obs") == 1, F.col("slot")), ignorenulls=True
+            ).over(lw),
+        )
+        .filter(F.col("_is_obs") == 0)
+        .select(
+            F.col("k").alias(key_col),
+            (F.col("slot") * F.lit(int(step_s))).alias("slot_ts"),
+            F.col("_fv").alias("val_scaled"),
+            (F.col("_fslot") != F.col("slot")).cast("int").alias("was_filled"),
+        )
+    )
+    return out
+
+
+def gap_fill_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    tiebreak_col: str,
+    step_s: int = 3600,
+    val_scale: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`gap_fill` (generate_series grid +
+    ``last_value IGNORE NULLS`` LOCF)."""
+    return f"""
+    WITH ev AS (
+      SELECT {key_col} AS k,
+             epoch_us({ts_col}) // {1_000_000 * int(step_s)} AS slot,
+             CAST(FLOOR({val_col} * {int(val_scale)}) AS BIGINT) AS vs,
+             epoch_us({ts_col}) AS us, {tiebreak_col} AS tb
+      FROM {table}
+    ),
+    obs AS (
+      SELECT k, slot, vs FROM (
+        SELECT k, slot, vs,
+               row_number() OVER (PARTITION BY k, slot
+                                  ORDER BY us DESC, tb DESC) AS rn
+        FROM ev
+      ) WHERE rn = 1
+    ),
+    grid AS (
+      SELECT k, unnest(generate_series(mn, mx)) AS slot
+      FROM (SELECT k, min(slot) AS mn, max(slot) AS mx FROM obs GROUP BY k)
+    ),
+    u AS (
+      SELECT k, slot, vs, 1 AS is_obs, slot AS obs_slot FROM obs
+      UNION ALL
+      SELECT k, slot, NULL, 0, NULL FROM grid
+    ),
+    f AS (
+      SELECT k, slot, is_obs,
+             last_value(vs IGNORE NULLS) OVER w AS fv,
+             last_value(obs_slot IGNORE NULLS) OVER w AS fslot
+      FROM u
+      WINDOW w AS (PARTITION BY k ORDER BY slot, is_obs DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT k AS {key_col},
+           CAST(slot * {int(step_s)} AS BIGINT) AS slot_ts,
+           fv AS val_scaled,
+           CAST(fslot <> slot AS INT) AS was_filled
+    FROM f WHERE is_obs = 0
+    """

@@ -114,3 +114,32 @@ def test_curation_pipeline_plan_shape(spark):
     assert "BroadcastExchange" in plan
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_topk_delta_broadcasts_changeset_sides(spark):
+    """IVM top-k refresh: the changeset-derived sides (update patch,
+    touched groups, removed PKs) broadcast — the base snapshot is never
+    shuffled for the join — and the top-k is a WindowGroupLimit."""
+    plan = plan_of(E.q_topk_delta(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_record_linkage_single_block_key_join(spark):
+    """Blocked linkage: candidates come from ONE equi-join on the
+    blocking key — never a cartesian expansion."""
+    plan = plan_of(E.q_record_linkage(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+
+def test_gap_fill_no_join(spark):
+    """Gap-fill is union+window — the LOCF never materializes as a
+    range join or cartesian product."""
+    plan = plan_of(E.q_gap_fill(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
