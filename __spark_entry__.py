@@ -3343,6 +3343,54 @@ def _twap_sql():
     return time_weighted_avg_sql("events", "user_id", "ts", "value", "event_id")
 
 
+def q_stay_points(spark, sf_dir):
+    """Trajectory stay-point detection over a synthesized ping stream
+    (each user's position is a deterministic per-day point, so stays =
+    same-day ping runs): maximal dwell episodes via the cell-quantized
+    gaps-and-islands detector — ONE key Exchange shared by the lag
+    windows, island cumsum, and per-episode fold."""
+    from geodiff_spark.spatial.trajectory import stay_points
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ep", F.expr("unix_micros(cast(ts as timestamp))"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.expr(
+                "((user_id * 7919 + (ep div 86400000000) * 13) % 16000)"
+                " / cast(100.0 as double) - cast(80.0 as double)"
+            ).alias("lat"),
+            F.expr(
+                "((user_id * 104729 + (ep div 86400000000) * 29) % 35000)"
+                " / cast(100.0 as double) - cast(175.0 as double)"
+            ).alias("lon"),
+        )
+    )
+    return stay_points(
+        ev, "user_id", "ts", "lat", "lon", "event_id",
+        cell_milli=500, max_gap_s=86_400, min_duration_s=3_600,
+    )
+
+
+def _stay_points_sql():
+    from geodiff_spark.spatial.trajectory import stay_points_sql
+
+    traj = (
+        "SELECT user_id, ts, event_id,"
+        " ((user_id * 7919 + (epoch_us(ts) // 86400000000) * 13) % 16000)"
+        " / CAST(100.0 AS DOUBLE) - CAST(80.0 AS DOUBLE) AS lat,"
+        " ((user_id * 104729 + (epoch_us(ts) // 86400000000) * 29) % 35000)"
+        " / CAST(100.0 AS DOUBLE) - CAST(175.0 AS DOUBLE) AS lon"
+        " FROM events"
+    )
+    return stay_points_sql(
+        f"({traj})", "user_id", "ts", "lat", "lon", "event_id",
+        cell_milli=500, max_gap_s=86_400, min_duration_s=3_600,
+    )
+
+
 def q_topk_delta(spark, sf_dir):
     """Incremental per-customer top-5 orders: diff two order snapshots
     with the REAL diff operator, then refresh the materialized top-k
@@ -4185,6 +4233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_prop": q_label_prop,
         "record_linkage": q_record_linkage,
         "topk_delta": q_topk_delta,
+        "stay_points": q_stay_points,
         "pareto_docs": q_pareto_docs,
         "ols_trend": q_ols_trend,
         "bloom_filter": q_bloom_filter,
@@ -4315,6 +4364,7 @@ def oracle_sql() -> dict[str, str]:
         "label_prop": _label_prop_sql(),
         "record_linkage": _record_linkage_sql(),
         "topk_delta": _topk_delta_sql(),
+        "stay_points": _stay_points_sql(),
         "pareto_docs": _pareto_docs_sql(),
         "ols_trend": _ols_trend_sql(),
         "bloom_filter": _bloom_filter_sql(),

@@ -348,6 +348,7 @@ def run_suite() -> None:
         "polygon_stats", "mad_outliers", "url_tree", "pq_codes",
         "bpe_encode", "polyline_perimeter", "recluster_plan", "assoc_rules",
         "gap_fill", "label_prop", "record_linkage", "topk_delta",
+        "stay_points",
     ]
     qs = E.queries()
     # warmup at the smallest sf: codegen/JIT caches, python worker pool,

@@ -216,3 +216,73 @@ def test_group_topk_refresh_insert_delete(spark):
         tuple(r) for r in group_topk_refresh(b, cs, "g", "v", "pk", k=2).collect()
     )
     assert got == [(10, 1, 9, 7.0), (10, 2, 1, 5.0)]
+
+
+# --- stay_points ------------------------------------------------------------
+
+def _py_stay_points(rows, cell_milli, max_gap_s, min_dur_s):
+    """rows: (key, us, lat, lon, tb)."""
+    import math
+
+    out = []
+    by_k = defaultdict(list)
+    for k, us, la, lo, tb in rows:
+        cla = math.floor(la * 1000) // cell_milli
+        clo = math.floor(lo * 1000) // cell_milli
+        by_k[k].append((us, tb, cla, clo))
+    for k, pts in by_k.items():
+        pts.sort()
+        runs = []
+        for p in pts:
+            if (
+                runs
+                and runs[-1][-1][2:] == p[2:]
+                and p[0] - runs[-1][-1][0] <= max_gap_s * 1_000_000
+            ):
+                runs[-1].append(p)
+            else:
+                runs.append([p])
+        for r in runs:
+            dur_ms = (r[-1][0] - r[0][0]) // 1000
+            if dur_ms >= min_dur_s * 1000:
+                out.append(
+                    (k, r[0][2], r[0][3], r[0][0], r[-1][0], len(r), dur_ms)
+                )
+    return sorted(out)
+
+
+def test_stay_points_matches_python_reference(spark):
+    from geodiff_spark.spatial.trajectory import stay_points
+
+    M = 1_000_000
+    rows = [
+        # key 1: 3 pings in one cell within gaps -> one stay of 20 min
+        (1, 100 * M, 10.0001, 20.0001, 1),
+        (1, 700 * M, 10.0002, 20.0002, 2),
+        (1, 1300 * M, 10.0003, 20.0003, 3),
+        # then a cell change -> new (too short) episode
+        (1, 1400 * M, 11.9, 20.0, 4),
+        # key 2: same cell but a gap > max_gap splits the run
+        (2, 0 * M, -5.0, -5.0, 5),
+        (2, 600 * M, -5.0, -5.0, 6),
+        (2, 5000 * M, -5.0, -5.0, 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, us long, lat double, lon double, tb long"
+    ).select("k", F.timestamp_micros(F.col("us")).alias("ts"), "lat", "lon", "tb")
+    got = sorted(
+        tuple(r)
+        for r in stay_points(
+            df, "k", "ts", "lat", "lon", "tb",
+            cell_milli=500, max_gap_s=1000, min_duration_s=600,
+        ).collect()
+    )
+    want = _py_stay_points(rows, 500, 1000, 600)
+    assert got == want
+    # two surviving stays: key 1's 20-minute run of 3 pings, and key
+    # 2's first 10-minute pair (its third ping is split off by the gap
+    # and alone has zero duration)
+    assert [r[:1] + r[5:] for r in got] == [
+        (1, 3, 1_200_000),
+        (2, 2, 600_000),
+    ]
