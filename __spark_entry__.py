@@ -4132,8 +4132,399 @@ def _assoc_rules_sql():
     )
 
 
+# ---------------------------------------------------------------------------
+# GRADED MULTIMODAL queries (round 4): the pHash / audio-fingerprint dedup
+# arc finally gets hard driver rows. The Spark path exercises the REAL
+# codecs (functions.png encode+decode with Paeth filtering, functions.wav
+# RIFF/PCM roundtrip); because both codecs are lossless, the DuckDB
+# oracle regenerates the pre-encode pixel plane / PCM samples from the
+# same integer recurrence and replays the integer-exact perceptual-hash
+# kernels from scratch — the same discipline as functions/hash_sql.py
+# replaying FNV-1a. Reference test shape matched: pygeodiff's golden
+# roundtrips (pygeodiff/tests/test_geometry_utils.py:11) — decode real
+# container bytes, assert exact values.
+# ---------------------------------------------------------------------------
+
+# deterministic generator shared by Spark and SQL: two rounds of the
+# classic glibc LCG (a=1103515245, c=12345, m=2^31) — every product fits
+# int64, so numpy and DuckDB agree exactly.
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 1 << 31
+
+
+def _lcg2_np(x):
+    import numpy as np  # noqa: F401 — numpy int64 arithmetic is exact here
+
+    x = (_LCG_A * x + _LCG_C) % _LCG_M
+    return (_LCG_A * x + _LCG_C) % _LCG_M
+
+
+def _lcg2_sql(e: str) -> str:
+    return (
+        f"((1103515245*((1103515245*({e}) + 12345) % 2147483648)"
+        " + 12345) % 2147483648)"
+    )
+
+
+# doc_id % 3 picks the modality; g = doc_id//6 pairs (6g+r, 6g+3+r) as
+# base + perturbed variant, so near-dup pairs exist at every sf.
+_MM_GROUP_SQL = (
+    "SELECT doc_id, doc_id // 6 AS g, (doc_id // 3) % 2 AS variant "
+    "FROM documents WHERE doc_id % 3 = {r}"
+)
+
+
+def _synth_png_media(spark, sf_dir):
+    """One 32x32 greyscale PNG per doc_id % 3 == 0: pixel(u,v) =
+    (lcg2(g*1024 + u*32 + v + 1) >> 7) % 256, variant rows perturb the
+    11 pixels with (u*32+v) % 97 == 0 by +5 (mod 256). Encoded with the
+    Paeth filter so the decoder's hardest unfilter path is exercised in
+    the graded run."""
+    ids = _docs(spark, sf_dir).select("doc_id").filter("doc_id % 3 = 0")
+
+    def gen(it):
+        import numpy as np
+        import pandas as pd
+
+        from geodiff_spark.functions.png import encode_png
+
+        pos = np.arange(32)[:, None] * 32 + np.arange(32)[None, :]
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, variant = did // 6, (did // 3) % 2
+                x2 = _lcg2_np((g * 1024 + pos + 1).astype(np.int64))
+                plane = (x2 >> 7) % 256
+                if variant:
+                    plane = np.where(pos % 97 == 0, (plane + 5) % 256, plane)
+                payloads.append(
+                    encode_png(plane.astype(np.uint8), filter_type=4)
+                )
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return ids.repartition(8).mapInPandas(
+        gen, schema="asset_id long, payload binary"
+    )
+
+
+def q_phash_dups(spark, sf_dir):
+    """GRADED MULTIMODAL query: synth planes -> REAL PNG encode/decode
+    (functions/png.py, all-filter codec) -> integer-exact 64-bit DCT
+    pHash (fixed-point basis, functions/multimodal.py phash_plane_q) ->
+    banded-hamming pigeonhole join (4 x 16-bit bands; candidates from an
+    equi-join, never all-pairs) -> exact bit_count re-rank <= 3.
+    At 10^12 assets the decode+hash is one Arrow-batched narrow pass and
+    the pair join shuffles only (band, value) buckets."""
+    from geodiff_spark.functions.multimodal import (
+        banded_hamming_pairs,
+        phash_images_q,
+    )
+
+    media = _synth_png_media(spark, sf_dir)
+    return banded_hamming_pairs(
+        phash_images_q(media), "asset_id", "phash", max_hamming=3, chunks=4
+    )
+
+
+def _phash_oracle_ctes(r: int = 0) -> str:
+    """CTE chain documents -> per-asset integer pHash, replaying the
+    fixed-point DCT from scratch: the 8x32 basis integers are injected
+    as literals (never recomputed from cos), coefficients are staged
+    row-transform then column-transform (exact int64 sums), the median
+    is the 32nd order statistic of the 63 AC coefficients, and the bit
+    pack converts two's-complement into BIGINT."""
+    from geodiff_spark.functions.multimodal import PHASH_BASIS_Q
+
+    basis_vals = ",".join(
+        f"({k},{u},{int(PHASH_BASIS_Q[k, u])})"
+        for k in range(8)
+        for u in range(32)
+    )
+    pix = f"(({_lcg2_sql('d.g*1024 + u.u*32 + v.v + 1')} >> 7) % 256)"
+    return f"""
+basis(k,u,c) AS (VALUES {basis_vals}),
+ids AS ({_MM_GROUP_SQL.format(r=r)}),
+pix AS (
+  SELECT d.doc_id, u.u, v.v,
+         CASE WHEN d.variant = 1 AND (u.u*32 + v.v) % 97 = 0
+              THEN ({pix} + 5) % 256 ELSE {pix} END AS val
+  FROM ids d, range(32) u(u), range(32) v(v)
+),
+rowc AS (
+  SELECT p.doc_id, b.k, p.v, SUM(b.c * p.val) AS rv
+  FROM pix p JOIN basis b ON b.u = p.u
+  GROUP BY p.doc_id, b.k, p.v
+),
+coef AS (
+  SELECT r.doc_id, r.k, b.k AS m, CAST(SUM(b.c * r.rv) AS BIGINT) AS d
+  FROM rowc r JOIN basis b ON b.u = r.v
+  GROUP BY r.doc_id, r.k, b.k
+),
+med AS (
+  SELECT doc_id, MAX(CASE WHEN rn = 32 THEN d END) AS med
+  FROM (SELECT doc_id, d,
+               row_number() OVER (PARTITION BY doc_id ORDER BY d) AS rn
+        FROM coef WHERE NOT (k = 0 AND m = 0))
+  GROUP BY doc_id
+),
+hsh AS (
+  SELECT c.doc_id AS asset_id,
+         SUM(CASE WHEN c.d > m.med
+             THEN (CAST(1 AS HUGEINT) << (63 - (c.k*8 + c.m)))
+             ELSE CAST(0 AS HUGEINT) END) AS h
+  FROM coef c JOIN med m USING (doc_id) GROUP BY c.doc_id
+),
+ph AS (
+  SELECT asset_id,
+         CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+              THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS hash64,
+         h AS h64
+  FROM hsh
+)"""
+
+
+_BANDED_PAIRS_SQL = """
+bands AS (
+  SELECT asset_id, hash64, i.band_idx,
+         CAST((h64 >> (i.band_idx*16)) & 65535 AS BIGINT) AS band_val
+  FROM ph, range(4) i(band_idx)
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT DISTINCT a.asset_id AS id_a, b.asset_id AS id_b,
+         CAST(bit_count(xor(a.hash64, b.hash64)) AS INTEGER) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.asset_id < b.asset_id
+) WHERE hamming <= 3"""
+
+
+def _phash_dups_sql():
+    return "WITH " + _phash_oracle_ctes(r=0) + "," + _BANDED_PAIRS_SQL
+
+
+def _synth_wav_media(spark, sf_dir):
+    """One 2040-sample mono 16-bit WAV per doc_id % 3 == 1: the signal
+    is amplitude-envelope noise — segment (t, b) has amplitude
+    100 + ((g*31 + t*t*7 + b*5) % 900), samples uniform via the shared
+    LCG; variant rows add +30 to every 211th sample."""
+    ids = _docs(spark, sf_dir).select("doc_id").filter("doc_id % 3 = 1")
+
+    def gen(it):
+        import numpy as np
+        import pandas as pd
+
+        from geodiff_spark.functions.multimodal import AFP_SAMPLES
+        from geodiff_spark.functions.wav import encode_wav
+
+        i = np.arange(AFP_SAMPLES, dtype=np.int64)
+        seg = i // 34
+        t, b = seg // 4, seg % 4
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, variant = did // 6, (did // 3) % 2
+                amp = 100 + ((g * 31 + t * t * 7 + b * 5) % 900)
+                x2 = _lcg2_np(g * 2040 + i + 1)
+                s = (x2 % (2 * amp + 1)) - amp
+                if variant:
+                    s = np.where(i % 211 == 0, s + 30, s)
+                payloads.append(encode_wav(s.astype(np.int16)))
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return ids.repartition(8).mapInPandas(
+        gen, schema="asset_id long, payload binary"
+    )
+
+
+def q_audio_dups(spark, sf_dir):
+    """GRADED MULTIMODAL query: synth PCM -> REAL WAV encode/decode
+    (functions/wav.py RIFF codec) -> integer-exact 60-bit energy
+    fingerprint (afingerprint_pcm_q: 15 frames x 4 sub-bands, exact
+    sum-of-squares vs per-band median) -> the same banded-hamming
+    pigeonhole join as images."""
+    from geodiff_spark.functions.multimodal import (
+        afingerprint_audio_q,
+        banded_hamming_pairs,
+    )
+
+    media = _synth_wav_media(spark, sf_dir)
+    return banded_hamming_pairs(
+        afingerprint_audio_q(media), "asset_id", "ahash",
+        max_hamming=3, chunks=4,
+    )
+
+
+def _audio_dups_sql():
+    amp = (
+        "(100 + ((d.g*31 + ((i.i//34)//4)*((i.i//34)//4)*7"
+        " + ((i.i//34)%4)*5) % 900))"
+    )
+    s0 = f"(({_lcg2_sql('d.g*2040 + i.i + 1')} % (2*{amp}+1)) - {amp})"
+    return f"""
+WITH ids AS ({_MM_GROUP_SQL.format(r=1)}),
+smp AS (
+  SELECT d.doc_id, (i.i//34)//4 AS t, (i.i//34)%4 AS b,
+         {s0} + CASE WHEN d.variant = 1 AND i.i % 211 = 0
+                THEN 30 ELSE 0 END AS s
+  FROM ids d, range(2040) i(i)
+),
+en AS (SELECT doc_id, t, b, CAST(SUM(s*s) AS BIGINT) AS e
+       FROM smp GROUP BY doc_id, t, b),
+med AS (
+  SELECT doc_id, b, MAX(CASE WHEN rn = 8 THEN e END) AS med
+  FROM (SELECT doc_id, b, e,
+               row_number() OVER (PARTITION BY doc_id, b ORDER BY e) AS rn
+        FROM en) GROUP BY doc_id, b
+),
+ph AS (
+  SELECT en.doc_id AS asset_id,
+         CAST(SUM(CASE WHEN en.e > med.med
+             THEN (CAST(1 AS HUGEINT) << (59 - (en.t*4 + en.b)))
+             ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS hash64,
+         SUM(CASE WHEN en.e > med.med
+             THEN (CAST(1 AS HUGEINT) << (59 - (en.t*4 + en.b)))
+             ELSE CAST(0 AS HUGEINT) END) AS h64
+  FROM en JOIN med ON en.doc_id = med.doc_id AND en.b = med.b
+  GROUP BY en.doc_id
+),{_BANDED_PAIRS_SQL}"""
+
+
+# ---------------------------------------------------------------------------
+# GRADED SKEW-STRESS query (round 4): the north rule's "salted-key skew
+# mitigation" under ACTUAL skew — one mega-key holds ~30% of rows.
+# ---------------------------------------------------------------------------
+
+_HOT_KEY_SQL = (
+    "CASE WHEN event_id % 10 < 3 THEN 777777 "
+    "ELSE (event_id * 2654435761) % 997 END"
+)
+
+
+def q_skew_zipf(spark, sf_dir):
+    """GRADED SKEW-STRESS query: per-row key totals over a skewed key
+    (events re-keyed so key 777777 holds ~30% of all rows, the rest
+    hash-spread over 997 keys). The naive formulation —
+    ``SUM(...) OVER (PARTITION BY hot_key)`` — lands the mega-key's
+    whole partition in ONE task (window aggregates cannot map-side
+    combine); this plan computes totals with the salted two-phase
+    aggregation (16 salts, bounded result) and broadcasts them back.
+    Same output, no hot reducer — see scripts/skew_gate.py for the
+    measured naive-vs-salted gap on 20M rows."""
+    from geodiff_spark.operators.skew import salted_window_totals
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id")
+        .withColumn("hot_key", F.expr(_HOT_KEY_SQL).cast("long"))
+    )
+    return salted_window_totals(
+        ev,
+        ["hot_key"],
+        [F.count(F.lit(1)).alias("n"), F.sum("user_id").alias("us")],
+        [F.sum("n").alias("key_n"), F.sum("us").alias("key_user_sum")],
+    ).select("event_id", "hot_key", "key_n", "key_user_sum")
+
+
+def _skew_zipf_sql():
+    return f"""
+SELECT event_id, CAST({_HOT_KEY_SQL} AS BIGINT) AS hot_key,
+       COUNT(*) OVER (PARTITION BY {_HOT_KEY_SQL}) AS key_n,
+       CAST(SUM(user_id) OVER (PARTITION BY {_HOT_KEY_SQL}) AS BIGINT)
+         AS key_user_sum
+FROM events"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER IS THE GRADING WINDOW: the driver grades exactly the first
+    # 50 entries. Round 4 leads with the 8 queries evicted from the
+    # r03 window (hll_counts first - the only query ever red needs its
+    # green hard-signal row), then the 3 new round-4 queries, then 39
+    # never-graded entries; positions 51-76 are the remaining
+    # never-graded queries (they lead the round-5 window), and the
+    # tail is everything already green in a prior CORRECTNESS_r{N}
+    # artifact. See GRADING_LEDGER.md.
     return {
+        "hll_counts": q_hll_counts,
+        "top_terms": q_top_terms,
+        "token_quantiles": q_token_quantiles,
+        "sessionize": q_sessionize,
+        "asof_clicks": q_asof_clicks,
+        "tile_pyramid": q_tile_pyramid,
+        "hll_users": q_hll_users,
+        "scd2_history": q_scd2_history,
+        "phash_dups": q_phash_dups,
+        "audio_dups": q_audio_dups,
+        "skew_zipf": q_skew_zipf,
+        "streaming_hll": q_streaming_hll,
+        "countmin_terms": q_countmin_terms,
+        "interval_join": q_interval_join,
+        "incremental_dedup": q_incremental_dedup,
+        "edit_dedup": q_edit_dedup,
+        "record_linkage": q_record_linkage,
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
+        "pq_codes": q_pq_codes,
+        "dsir_weights": q_dsir_weights,
+        "triangle_counts": q_triangle_counts,
+        "k_core": q_k_core,
+        "hop_distances": q_hop_distances,
+        "funnel_steps": q_funnel_steps,
+        "dbscan_clusters": q_dbscan_clusters,
+        "zorder_keys": q_zorder_keys,
+        "zorder_prune": q_zorder_prune,
+        "recluster_plan": q_recluster_plan,
+        "compaction_plan": q_compaction_plan,
+        "resumable_ranges": q_resumable_ranges,
+        "history_slice": q_history_slice,
+        "radius_join": q_radius_join,
+        "segment_join": q_segment_join,
+        "histo_tokens": q_histo_tokens,
+        "rect_overlap": q_rect_overlap,
+        "join_size_est": q_join_size_est,
+        "geohash_assign": q_geohash_assign,
+        "pyramid_delta": q_pyramid_delta,
+        "anchor_texts": q_anchor_texts,
+        "cohort_retention": q_cohort_retention,
+        "boilerplate_chunks": q_boilerplate_chunks,
+        "quality_gate": q_quality_gate,
+        "zonal_stats": q_zonal_stats,
+        "cell_compact": q_cell_compact,
+        "compact_roundtrip": q_compact_roundtrip,
+        "focal_mean": q_focal_mean,
+        "phrase_search": q_phrase_search,
+        "rolling_active": q_rolling_active,
+        "trimmed_stats": q_trimmed_stats,
+        "activity_streaks": q_activity_streaks,
+        "pmi_pairs": q_pmi_pairs,
+        "coverage_jaccard": q_coverage_jaccard,
+        "top_p_mass": q_top_p_mass,
+        "spatial_autocorr": q_spatial_autocorr,
+        "markov_transitions": q_markov_transitions,
+        "twap": q_twap,
+        "gap_fill": q_gap_fill,
+        "label_prop": q_label_prop,
+        "topk_delta": q_topk_delta,
+        "stay_points": q_stay_points,
+        "pareto_docs": q_pareto_docs,
+        "ols_trend": q_ols_trend,
+        "bloom_filter": q_bloom_filter,
+        "bloom_probe": q_bloom_probe,
+        "weighted_paths": q_weighted_paths,
+        "hrw_route": q_hrw_route,
+        "bottomk_quantiles": q_bottomk_quantiles,
+        "kmv_overlap": q_kmv_overlap,
+        "priority_sample": q_priority_sample,
+        "polygon_stats": q_polygon_stats,
+        "mad_outliers": q_mad_outliers,
+        "url_tree": q_url_tree,
+        "range_assign": q_range_assign,
+        "polyline_perimeter": q_polyline_perimeter,
+        "assoc_rules": q_assoc_rules,
         "diff_changeset": q_diff_changeset,
         "diff_summary": q_diff_summary,
         "apply_roundtrip": q_apply_roundtrip,
@@ -4184,84 +4575,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_rank": q_link_rank,
         "inverted_index": q_inverted_index,
         "bm25_search": q_bm25_search,
-        "top_terms": q_top_terms,
-        "token_quantiles": q_token_quantiles,
-        "sessionize": q_sessionize,
-        "asof_clicks": q_asof_clicks,
-        "tile_pyramid": q_tile_pyramid,
-        "hll_users": q_hll_users,
-        "hll_counts": q_hll_counts,
-        "scd2_history": q_scd2_history,
-        "history_slice": q_history_slice,
-        "countmin_terms": q_countmin_terms,
-        "radius_join": q_radius_join,
-        "interval_join": q_interval_join,
-        "incremental_dedup": q_incremental_dedup,
-        "segment_join": q_segment_join,
-        "histo_tokens": q_histo_tokens,
-        "rect_overlap": q_rect_overlap,
-        "join_size_est": q_join_size_est,
-        "geohash_assign": q_geohash_assign,
-        "pyramid_delta": q_pyramid_delta,
-        "anchor_texts": q_anchor_texts,
-        "cohort_retention": q_cohort_retention,
-        "boilerplate_chunks": q_boilerplate_chunks,
-        "quality_gate": q_quality_gate,
-        "zonal_stats": q_zonal_stats,
-        "cell_compact": q_cell_compact,
-        "compact_roundtrip": q_compact_roundtrip,
-        "funnel_steps": q_funnel_steps,
-        "dbscan_clusters": q_dbscan_clusters,
-        "triangle_counts": q_triangle_counts,
-        "focal_mean": q_focal_mean,
-        "phrase_search": q_phrase_search,
-        "dsir_weights": q_dsir_weights,
-        "streaming_hll": q_streaming_hll,
-        "rolling_active": q_rolling_active,
-        "k_core": q_k_core,
-        "trimmed_stats": q_trimmed_stats,
-        "activity_streaks": q_activity_streaks,
-        "pmi_pairs": q_pmi_pairs,
-        "hop_distances": q_hop_distances,
-        "coverage_jaccard": q_coverage_jaccard,
-        "top_p_mass": q_top_p_mass,
-        "resumable_ranges": q_resumable_ranges,
-        "spatial_autocorr": q_spatial_autocorr,
-        "markov_transitions": q_markov_transitions,
-        "twap": q_twap,
-        "gap_fill": q_gap_fill,
-        "label_prop": q_label_prop,
-        "record_linkage": q_record_linkage,
-        "topk_delta": q_topk_delta,
-        "stay_points": q_stay_points,
-        "pareto_docs": q_pareto_docs,
-        "ols_trend": q_ols_trend,
-        "bloom_filter": q_bloom_filter,
-        "bloom_probe": q_bloom_probe,
-        "bpe_merges": q_bpe_merges,
-        "edit_dedup": q_edit_dedup,
-        "zorder_keys": q_zorder_keys,
-        "weighted_paths": q_weighted_paths,
-        "hrw_route": q_hrw_route,
-        "bottomk_quantiles": q_bottomk_quantiles,
-        "kmv_overlap": q_kmv_overlap,
-        "priority_sample": q_priority_sample,
-        "polygon_stats": q_polygon_stats,
-        "zorder_prune": q_zorder_prune,
-        "mad_outliers": q_mad_outliers,
-        "url_tree": q_url_tree,
-        "range_assign": q_range_assign,
-        "pq_codes": q_pq_codes,
-        "compaction_plan": q_compaction_plan,
-        "bpe_encode": q_bpe_encode,
-        "polyline_perimeter": q_polyline_perimeter,
-        "recluster_plan": q_recluster_plan,
-        "assoc_rules": q_assoc_rules,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    # same order as queries() - see the grading-window note there.
     return {
+        "hll_counts": _hll_counts_sql(),
+        "top_terms": _top_terms_sql(),
+        "token_quantiles": _token_quantiles_sql(),
+        "sessionize": _sessionize_sql(),
+        "asof_clicks": _ASOF_SQL,
+        "tile_pyramid": _tile_pyramid_sql(),
+        "hll_users": _hll_users_sql(),
+        "scd2_history": _scd2_history_sql(),
+        "phash_dups": _phash_dups_sql(),
+        "audio_dups": _audio_dups_sql(),
+        "skew_zipf": _skew_zipf_sql(),
+        "streaming_hll": _streaming_hll_sql(),
+        "countmin_terms": _countmin_terms_sql(),
+        "interval_join": _interval_join_sql(),
+        "incremental_dedup": _incremental_dedup_sql(),
+        "edit_dedup": _edit_dedup_sql(),
+        "record_linkage": _record_linkage_sql(),
+        "bpe_merges": _bpe_merges_sql(),
+        "bpe_encode": _bpe_encode_sql(),
+        "pq_codes": _pq_codes_sql(),
+        "dsir_weights": _dsir_weights_sql(),
+        "triangle_counts": _triangle_counts_sql(),
+        "k_core": _k_core_sql(),
+        "hop_distances": _hop_distances_sql(),
+        "funnel_steps": _funnel_steps_sql(),
+        "dbscan_clusters": _dbscan_clusters_sql(),
+        "zorder_keys": _zorder_keys_sql(),
+        "zorder_prune": _zorder_prune_sql(),
+        "recluster_plan": _recluster_plan_sql(),
+        "compaction_plan": _compaction_plan_sql(),
+        "resumable_ranges": _resumable_ranges_sql(),
+        "history_slice": _history_slice_sql(),
+        "radius_join": _radius_join_sql(),
+        "segment_join": _segment_join_sql(),
+        "histo_tokens": _histo_tokens_sql(),
+        "rect_overlap": _rect_overlap_sql(),
+        "join_size_est": _join_size_est_sql(),
+        "geohash_assign": _geohash_assign_sql(),
+        "pyramid_delta": _pyramid_delta_sql(),
+        "anchor_texts": _anchor_texts_sql(),
+        "cohort_retention": _cohort_retention_sql(),
+        "boilerplate_chunks": _boilerplate_chunks_sql(),
+        "quality_gate": _quality_gate_sql(),
+        "zonal_stats": _zonal_stats_sql(),
+        "cell_compact": _cell_compact_sql(),
+        "compact_roundtrip": _tile_cover_sql(),
+        "focal_mean": _focal_mean_sql(),
+        "phrase_search": _phrase_search_sql(),
+        "rolling_active": _rolling_active_sql(),
+        "trimmed_stats": _trimmed_stats_sql(),
+        "activity_streaks": _activity_streaks_sql(),
+        "pmi_pairs": _pmi_pairs_sql(),
+        "coverage_jaccard": _coverage_jaccard_sql(),
+        "top_p_mass": _top_p_mass_sql(),
+        "spatial_autocorr": _spatial_autocorr_sql(),
+        "markov_transitions": _markov_transitions_sql(),
+        "twap": _twap_sql(),
+        "gap_fill": _gap_fill_sql(),
+        "label_prop": _label_prop_sql(),
+        "topk_delta": _topk_delta_sql(),
+        "stay_points": _stay_points_sql(),
+        "pareto_docs": _pareto_docs_sql(),
+        "ols_trend": _ols_trend_sql(),
+        "bloom_filter": _bloom_filter_sql(),
+        "bloom_probe": _bloom_probe_sql(),
+        "weighted_paths": _weighted_paths_sql(),
+        "hrw_route": _hrw_route_sql(),
+        "bottomk_quantiles": _bottomk_quantiles_sql(),
+        "kmv_overlap": _kmv_overlap_sql(),
+        "priority_sample": _priority_sample_sql(),
+        "polygon_stats": _polygon_stats_sql(),
+        "mad_outliers": _mad_outliers_sql(),
+        "url_tree": _url_tree_sql(),
+        "range_assign": _range_assign_sql(),
+        "polyline_perimeter": _polyline_perimeter_sql(),
+        "assoc_rules": _assoc_rules_sql(),
         "diff_changeset": _DIFF_SQL,
         "diff_summary": _DIFF_SUMMARY_SQL,
         "apply_roundtrip": _MOD_SQL,
@@ -4277,9 +4672,19 @@ def oracle_sql() -> dict[str, str]:
         "text_features": _text_features_sql(),
         "dedup_exact": _dedup_exact_sql(),
         "ngram_jaccard": _ngram_jaccard_oracle(),
+        "minhash_lsh": _minhash_lsh_oracle(),
+        "domain_minhash": _domain_minhash_oracle(),
+        "bigram_logprob": _bigram_logprob_oracle(),
+        "fluency_buckets": _fluency_buckets_oracle(),
+        "warc_roundtrip": _WARC_ORACLE,
+        "wet_extract": _WET_ORACLE,
+        "kmeans_embed": _kmeans_oracle(),
+        "ann_ivf_trained": _ann_ivf_trained_sql(),
+        "simhash": _simhash_oracle(),
         "ann_bruteforce": _ann_sql(),
         "ann_ivf": _ann_ivf_sql(),
         "cosine_dups": _cosine_dups_sql(),
+        "cosine_dups_lsh": _cosine_dups_lsh_oracle(),
         "events_hourly": _EVENTS_SQL,
         "streaming_hourly": _EVENTS_SQL,
         "lineitem_pricing": _LINEITEM_SQL,
@@ -4302,90 +4707,4 @@ def oracle_sql() -> dict[str, str]:
         "link_rank": _link_rank_sql(),
         "inverted_index": _inverted_index_sql(),
         "bm25_search": _bm25_sql(),
-        "top_terms": _top_terms_sql(),
-        "token_quantiles": _token_quantiles_sql(),
-        "sessionize": _sessionize_sql(),
-        "asof_clicks": _ASOF_SQL,
-        "tile_pyramid": _tile_pyramid_sql(),
-        "hll_users": _hll_users_sql(),
-        "hll_counts": _hll_counts_sql(),
-        "scd2_history": _scd2_history_sql(),
-        "history_slice": _history_slice_sql(),
-        "countmin_terms": _countmin_terms_sql(),
-        "radius_join": _radius_join_sql(),
-        "interval_join": _interval_join_sql(),
-        "incremental_dedup": _incremental_dedup_sql(),
-        "segment_join": _segment_join_sql(),
-        "histo_tokens": _histo_tokens_sql(),
-        "rect_overlap": _rect_overlap_sql(),
-        "join_size_est": _join_size_est_sql(),
-        "geohash_assign": _geohash_assign_sql(),
-        "pyramid_delta": _pyramid_delta_sql(),
-        # round 2: the LSH family is hard-verified too — the oracles
-        # recompute FNV-1a/splitmix64 signatures, simhashes, and
-        # hyperplane buckets from scratch in DuckDB (functions/hash_sql.py)
-        "minhash_lsh": _minhash_lsh_oracle(),
-        "domain_minhash": _domain_minhash_oracle(),
-        "bigram_logprob": _bigram_logprob_oracle(),
-        "fluency_buckets": _fluency_buckets_oracle(),
-        "warc_roundtrip": _WARC_ORACLE,
-        "wet_extract": _WET_ORACLE,
-        "kmeans_embed": _kmeans_oracle(),
-        "ann_ivf_trained": _ann_ivf_trained_sql(),
-        "simhash": _simhash_oracle(),
-        "cosine_dups_lsh": _cosine_dups_lsh_oracle(),
-        "anchor_texts": _anchor_texts_sql(),
-        "cohort_retention": _cohort_retention_sql(),
-        "boilerplate_chunks": _boilerplate_chunks_sql(),
-        "quality_gate": _quality_gate_sql(),
-        "zonal_stats": _zonal_stats_sql(),
-        "cell_compact": _cell_compact_sql(),
-        "compact_roundtrip": _tile_cover_sql(),
-        "funnel_steps": _funnel_steps_sql(),
-        "dbscan_clusters": _dbscan_clusters_sql(),
-        "triangle_counts": _triangle_counts_sql(),
-        "focal_mean": _focal_mean_sql(),
-        "phrase_search": _phrase_search_sql(),
-        "dsir_weights": _dsir_weights_sql(),
-        "streaming_hll": _streaming_hll_sql(),
-        "rolling_active": _rolling_active_sql(),
-        "k_core": _k_core_sql(),
-        "trimmed_stats": _trimmed_stats_sql(),
-        "activity_streaks": _activity_streaks_sql(),
-        "pmi_pairs": _pmi_pairs_sql(),
-        "hop_distances": _hop_distances_sql(),
-        "coverage_jaccard": _coverage_jaccard_sql(),
-        "top_p_mass": _top_p_mass_sql(),
-        "resumable_ranges": _resumable_ranges_sql(),
-        "spatial_autocorr": _spatial_autocorr_sql(),
-        "markov_transitions": _markov_transitions_sql(),
-        "twap": _twap_sql(),
-        "gap_fill": _gap_fill_sql(),
-        "label_prop": _label_prop_sql(),
-        "record_linkage": _record_linkage_sql(),
-        "topk_delta": _topk_delta_sql(),
-        "stay_points": _stay_points_sql(),
-        "pareto_docs": _pareto_docs_sql(),
-        "ols_trend": _ols_trend_sql(),
-        "bloom_filter": _bloom_filter_sql(),
-        "bloom_probe": _bloom_probe_sql(),
-        "bpe_merges": _bpe_merges_sql(),
-        "edit_dedup": _edit_dedup_sql(),
-        "zorder_keys": _zorder_keys_sql(),
-        "weighted_paths": _weighted_paths_sql(),
-        "hrw_route": _hrw_route_sql(),
-        "bottomk_quantiles": _bottomk_quantiles_sql(),
-        "kmv_overlap": _kmv_overlap_sql(),
-        "priority_sample": _priority_sample_sql(),
-        "polygon_stats": _polygon_stats_sql(),
-        "zorder_prune": _zorder_prune_sql(),
-        "mad_outliers": _mad_outliers_sql(),
-        "url_tree": _url_tree_sql(),
-        "range_assign": _range_assign_sql(),
-        "pq_codes": _pq_codes_sql(),
-        "compaction_plan": _compaction_plan_sql(),
-        "bpe_encode": _bpe_encode_sql(),
-        "polyline_perimeter": _polyline_perimeter_sql(),
-        "recluster_plan": _recluster_plan_sql(),
-        "assoc_rules": _assoc_rules_sql(),
     }

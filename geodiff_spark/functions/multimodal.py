@@ -343,3 +343,119 @@ def audio_dup_pairs(media: DataFrame, *, max_hamming: int = 3, chunks: int = 4) 
         afingerprint_audio(media), "asset_id", "ahash",
         max_hamming=max_hamming, chunks=chunks,
     )
+
+
+# --- oracle-replayable integer kernels (graded multimodal queries) ----------
+#
+# The float pHash/fingerprint above are the production kernels; these are
+# their INTEGER-EXACT twins, used by the graded registry queries so a
+# DuckDB oracle can recompute every bit from scratch (same discipline as
+# functions/hash_sql.py replaying FNV-1a/splitmix64). Fixed-point DCT is
+# what hardware pHash implementations do anyway — this is not a toy
+# variant, it is the deterministic flavor of the same perceptual hash.
+
+PHASH_N = 32          # resampled plane side
+PHASH_K = 8           # low-frequency block side (64 bits)
+PHASH_SCALE = 1 << 15  # fixed-point scale for the DCT basis
+
+
+def _phash_basis_q() -> np.ndarray:
+    """(8, 32) int64 fixed-point DCT-II basis: floor(C * 2^15 + 0.5).
+
+    Computed once at import; the SQL oracle injects THESE integers as
+    literals (never recomputes cos), so Spark/DuckDB parity is exact by
+    construction."""
+    c = _dct2_matrix(PHASH_N)[:PHASH_K]
+    return np.floor(c * PHASH_SCALE + 0.5).astype(np.int64)
+
+
+PHASH_BASIS_Q = _phash_basis_q()
+
+
+def phash_plane_q(plane: np.ndarray) -> int:
+    """Integer-exact 64-bit DCT perceptual hash of a uint8 luma plane.
+
+    Same recipe as phash_plane (stride-resample to 32x32, DCT-II, keep
+    the 8x8 low-frequency block, threshold against the non-DC median)
+    but in int64 fixed point end to end: coefficients are exact
+    integers (|d| <= 32*32*8192*8192*255 < 2^45), the median is the
+    exact 32nd order statistic of the 63 AC coefficients, and the bit
+    pack is two's-complement into a Spark long."""
+    h, w = plane.shape
+    ys = np.linspace(0, h - 1, PHASH_N).astype(int)
+    xs = np.linspace(0, w - 1, PHASH_N).astype(int)
+    small = plane[np.ix_(ys, xs)].astype(np.int64)
+    b = PHASH_BASIS_Q
+    d = (b @ small @ b.T).flatten()
+    med = int(np.sort(d[1:])[31])
+    out = 0
+    for val in d:
+        out = (out << 1) | int(val > med)
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def phash_images_q(media: DataFrame) -> DataFrame:
+    """mapInPandas: image payload -> integer-exact pHash (PNG decodes
+    for real via functions.png; the roundtrip is lossless so the oracle
+    can regenerate the pre-encode plane instead of decoding)."""
+
+    def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = [
+                phash_plane_q(_decode_image(bytes(p), 32, 32))
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {"asset_id": pdf["asset_id"],
+                 "phash": pd.Series(hashes, dtype="int64")}
+            )
+
+    return media.mapInPandas(op, schema=PHASH_SCHEMA)
+
+
+AFP_FRAMES = 15   # odd -> the per-band median is a unique middle element
+AFP_BANDS = 4
+AFP_SEG = 34      # samples per (frame, band) segment
+AFP_SAMPLES = AFP_FRAMES * AFP_BANDS * AFP_SEG  # 2040
+
+
+def afingerprint_pcm_q(x: np.ndarray) -> int:
+    """Integer-exact 60-bit time-domain energy fingerprint.
+
+    Split the first 2040 samples into 15 frames x 4 sub-band segments
+    of 34 samples; e[t,b] = exact int64 sum of squares; bit = e[t,b] >
+    that band's median across frames (odd frame count -> the median is
+    the exact 8th order statistic). The audio twin of phash_plane_q;
+    robust to small sample perturbations because segment energies are
+    amplitude-envelope scaled, not white."""
+    x = np.asarray(x, dtype=np.int64)
+    if len(x) < AFP_SAMPLES:
+        x = np.pad(x, (0, AFP_SAMPLES - len(x)))
+    e = (x[:AFP_SAMPLES] ** 2).reshape(AFP_FRAMES, AFP_BANDS, AFP_SEG).sum(axis=2)
+    med = np.sort(e, axis=0)[AFP_FRAMES // 2]
+    bits = (e > med[None, :]).flatten()
+    out = 0
+    for bit in bits:
+        out = (out << 1) | int(bit)
+    return out  # < 2^60, always a valid non-negative Spark long
+
+
+def afingerprint_audio_q(media: DataFrame) -> DataFrame:
+    """mapInPandas: WAV payload -> integer-exact fingerprint (real
+    RIFF/PCM decode; int16 PCM roundtrips losslessly so the oracle can
+    regenerate the pre-encode samples)."""
+
+    def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .wav import decode_wav
+
+        for pdf in it:
+            hashes = []
+            for payload in pdf["payload"]:
+                pcm, _ = decode_wav(bytes(payload))
+                hashes.append(afingerprint_pcm_q(pcm[:, 0]))
+            yield pd.DataFrame(
+                {"asset_id": pdf["asset_id"],
+                 "ahash": pd.Series(hashes, dtype="int64")}
+            )
+
+    return media.mapInPandas(op, schema=AHASH_SCHEMA)

@@ -340,31 +340,78 @@ def pq_codes(
     try:
         # ONE seed collect serves all m subspaces (the k lowest-id full
         # vectors, sliced driver-side) — versus m separate TakeOrdered
-        # jobs; _train skips its own seed collect when seeds are given.
+        # jobs.
         seed_rows = qf.orderBy(id_col).limit(k).collect()
-        code_exprs = []
-        for s in range(m):
-            qs = qf.select(
-                F.col(id_col), F.slice(F.col("qf"), s * sub + 1, sub).alias("q")
-            )
-            seeds = [
+        cents = [
+            [
                 (i, list(r["qf"][s * sub:(s + 1) * sub]))
                 for i, r in enumerate(seed_rows)
             ]
-            cents = _train(qs, id_col, k, iters, scale, sub, seeds=seeds)
-            sl = F.slice(F.col("qf"), s * sub + 1, sub)
-            best = F.array_min(
+            for s in range(m)
+        ]
+        # FUSED Lloyd loop: all m subspaces train in ONE job per
+        # iteration. Each row emits m (subspace, cluster, slice) structs
+        # via posexplode, one map-side-combining groupBy((s, cluster))
+        # yields every codebook's update, so driver syncs drop from
+        # m*iters collects of k rows to iters collects of m*k rows —
+        # same total state, 1/m the job-launch + scan count. The update
+        # arithmetic is byte-identical to _train (same shifted integer
+        # floor-div mean, same (dist, cid) tie-break, same empty-cluster
+        # carry-forward), so pq_codes_sql stays an exact oracle.
+        def best_for(sl, cs) -> Column:
+            return F.array_min(
                 F.array(
                     *[
                         F.struct(
                             _dist_between(sl, c).alias("dist"),
                             F.lit(int(cid)).cast("int").alias("cid"),
                         )
-                        for cid, c in cents
+                        for cid, c in cs
                     ]
                 )
             )
-            code_exprs.append(best["cid"].cast("long").alias(f"code_{s}"))
+
+        for _ in range(iters):
+            per_sub = F.array(
+                *[
+                    F.struct(
+                        best_for(
+                            F.slice(F.col("qf"), s * sub + 1, sub), cents[s]
+                        ).cid.alias("cluster"),
+                        F.slice(F.col("qf"), s * sub + 1, sub).alias("qs"),
+                    )
+                    for s in range(m)
+                ]
+            )
+            ex = qf.select(F.posexplode(per_sub).alias("s", "x")).select(
+                "s", "x.cluster", "x.qs"
+            )
+            upd = (
+                ex.groupBy("s", "cluster")
+                .agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    *[F.sum(F.col("qs")[i]).alias(f"s{i}") for i in range(sub)],
+                )
+                .collect()
+            )
+            new = {
+                (int(r["s"]), int(r["cluster"])): [
+                    (int(r[f"s{i}"]) + int(r["cnt"]) * scale) // int(r["cnt"])
+                    - scale
+                    for i in range(sub)
+                ]
+                for r in upd
+            }
+            cents = [
+                [(cid, new.get((s, cid), c)) for cid, c in cents[s]]
+                for s in range(m)
+            ]
+        code_exprs = [
+            best_for(F.slice(F.col("qf"), s * sub + 1, sub), cents[s])
+            .cid.cast("long")
+            .alias(f"code_{s}")
+            for s in range(m)
+        ]
         return qf.select(id_col, *code_exprs)
     finally:
         qf.unpersist()

@@ -82,6 +82,32 @@ def salted_agg(
     return partial.groupBy(*keys).agg(*final_aggs)
 
 
+def salted_window_totals(
+    df: DataFrame,
+    keys: list[str],
+    partial_aggs: list[Column],
+    final_aggs: list[Column],
+    *,
+    n_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """Skew-proof replacement for ``agg(...).over(Window.partitionBy(keys))``.
+
+    A window aggregate over a hot key is the canonical REAL skew pain in
+    Spark: unlike groupBy (whose map-side partial aggregation already
+    collapses a hot key to one row per task), ``Window.partitionBy``
+    must materialize and sort the WHOLE partition in one task — a key
+    holding 30% of 10^12 rows lands 3*10^11 rows on a single core.
+    The skew-proof plan: compute per-key totals with the salted
+    two-phase aggregation (bounded: |keys| result rows), then broadcast
+    the tiny totals frame back onto every row — same output as the
+    window, no single-task sort, no hot reducer.
+
+    Output: all columns of ``df`` + the final_agg columns.
+    """
+    totals = salted_agg(df, keys, partial_aggs, final_aggs, n_salts=n_salts)
+    return df.join(F.broadcast(totals), keys, "left")
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

@@ -6,9 +6,12 @@ capability-gated: ``iceberg_available(spark)`` probes the classpath, and
 absent (the parquet-bucketed ``SnapshotStore`` is the local fallback
 with the same join behavior).
 
-Jar acquisition attempt (re-run and re-dated round 3; first recorded
-round 2): the sandbox has no network (DNS resolution fails for
-repo1.maven.org; ``pip download pyiceberg`` fails the same way),
+Jar acquisition attempt (re-run and re-dated round 4, 2026-08-18:
+DNS for repo1.maven.org still fails, ``pip download pyiceberg`` still
+finds no distribution, a fresh full-filesystem scan still finds zero
+iceberg jars/wheels; first recorded round 2): the sandbox has no
+network (DNS resolution fails for repo1.maven.org; ``pip download
+pyiceberg`` fails the same way),
 pyspark's bundled jars include no iceberg/delta/hudi artifacts, a full
 filesystem scan finds no iceberg jar anywhere, and the runtime jars
 ship no writable DataSourceV2 catalog either (InMemoryTableCatalog
