@@ -4439,6 +4439,244 @@ SELECT event_id, CAST({_HOT_KEY_SQL} AS BIGINT) AS hot_key,
 FROM events"""
 
 
+# ---------------------------------------------------------------------------
+# round-4 widening: bars / first-seen / anomaly analytics, media clustering,
+# multi-way TPC-H-style joins (integer-cents money discipline). Scheduled
+# for the round-5 grading window (positions 51+, see GRADING_LEDGER.md).
+# ---------------------------------------------------------------------------
+
+
+def q_ohlc_bars(spark, sf_dir):
+    """Hourly OHLC bars per event type: ONE map-side-combining groupBy,
+    open/close via min_by/max_by over the (ts, event_id) total order —
+    no window sort. Values pass through (no float arithmetic)."""
+    from geodiff_spark.operators.analytics import ohlc_bars
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ohlc_bars(
+        ev, ["event_type"], "ts", "value", "event_id", bucket_seconds=3600
+    )
+
+
+def _ohlc_bars_sql():
+    from geodiff_spark.operators.analytics import ohlc_bars_sql
+
+    return ohlc_bars_sql(
+        "SELECT * FROM events", ["event_type"], "ts", "value", "event_id",
+        bucket_seconds=3600,
+    )
+
+
+def q_cumulative_users(spark, sf_dir):
+    """Running distinct-user count per day without running-distinct
+    state: first-seen groupBy -> per-day new users -> two-phase
+    range-partitioned cumsum (no single-partition global window)."""
+    from geodiff_spark.operators.analytics import cumulative_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cumulative_distinct(ev, "user_id", "ts", bucket_seconds=86400)
+
+
+def _cumulative_users_sql():
+    from geodiff_spark.operators.analytics import cumulative_distinct_sql
+
+    return cumulative_distinct_sql(
+        "SELECT * FROM events", "user_id", "ts", bucket_seconds=86400
+    )
+
+
+def q_rate_anomaly(spark, sf_dir):
+    """Trailing-24h hourly event-rate anomaly flags, integer-exact: the
+    z-score test in cleared-denominator form (c*n - s)^2 > k^2 *
+    (c*q - s^2) * c — no float mean/stddev, so the oracle matches bit
+    for bit. One RANGE window per key, banded by bucket index."""
+    from geodiff_spark.operators.analytics import rate_anomaly
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rate_anomaly(
+        ev, ["event_type"], "ts",
+        bucket_seconds=3600, trail=24, k=3, min_hist=6,
+    )
+
+
+def _rate_anomaly_sql():
+    from geodiff_spark.operators.analytics import rate_anomaly_sql
+
+    return rate_anomaly_sql(
+        "SELECT * FROM events", ["event_type"], "ts",
+        bucket_seconds=3600, trail=24, k=3, min_hist=6,
+    )
+
+
+def q_phash_clusters(spark, sf_dir):
+    """Pair->cluster stage of IMAGE dedup: connected components
+    (large-star/small-star) over the banded pHash pairs — the media twin
+    of dedup_clusters. Every image labeled with component + size."""
+    from geodiff_spark.functions.multimodal import (
+        banded_hamming_pairs,
+        phash_images_q,
+    )
+    from geodiff_spark.operators.cluster import dedup_clusters
+
+    media = _synth_png_media(spark, sf_dir)
+    hashes = phash_images_q(media)
+    pairs = banded_hamming_pairs(
+        hashes, "asset_id", "phash", max_hamming=3, chunks=4
+    )
+    return dedup_clusters(
+        pairs.select("id_a", "id_b"), hashes.select("asset_id"), "asset_id"
+    )
+
+
+def _phash_clusters_sql():
+    return (
+        "WITH RECURSIVE "
+        + _phash_oracle_ctes(r=0)
+        + ","
+        + """
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT DISTINCT a.asset_id AS id_a, b.asset_id AS id_b,
+           CAST(bit_count(xor(a.hash64, b.hash64)) AS INTEGER) AS hamming
+    FROM (SELECT asset_id, hash64, i.band_idx,
+                 CAST((h64 >> (i.band_idx*16)) & 65535 AS BIGINT) AS band_val
+          FROM ph, range(4) i(band_idx)) a
+    JOIN (SELECT asset_id, hash64, i.band_idx,
+                 CAST((h64 >> (i.band_idx*16)) & 65535 AS BIGINT) AS band_val
+          FROM ph, range(4) i(band_idx)) b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.asset_id < b.asset_id
+  ) WHERE hamming <= 3
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+walk(n, lbl) AS (
+  SELECT asset_id, asset_id FROM ph
+  UNION
+  SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.n
+),
+comp AS (SELECT n, min(lbl) AS component FROM walk GROUP BY n)
+SELECT n AS asset_id, component,
+       CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS csize
+FROM comp"""
+    )
+
+
+# money discipline for the multi-way join queries: integer 1e-4 currency
+# units (cents * (100 - discount_cents)) — exact cross-engine, the same
+# integer-exactness rule as every other graded aggregate.
+_CENTS = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+_DISC_C = "CAST(round(l_discount * 100) AS BIGINT)"
+_REV_C4 = f"{_CENTS} * (100 - {_DISC_C})"
+_Q3_DATE = "1998-06-01"
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3-shaped 3-way join (shipping priority): filtered customer
+    dim BROADCASTs into orders, the fact join on l_orderkey shuffles
+    once, revenue in integer 1e-4 units, deterministic top-10 by
+    (revenue DESC, l_orderkey). Exercises join planning + pushdown +
+    WindowGroupLimit-free LIMIT ordering."""
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderdate") < F.lit(_Q3_DATE))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_shipdate") > F.lit(_Q3_DATE))
+        .select("l_orderkey", F.expr(_REV_C4).alias("rev"))
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum("rev").alias("revenue_c4"))
+        .orderBy(F.col("revenue_c4").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+def _tpch_q3_sql():
+    return f"""
+SELECT l_orderkey, o_orderdate,
+       CAST(SUM({_REV_C4}) AS BIGINT) AS revenue_c4
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{_Q3_DATE} 00:00:00'
+  AND l_shipdate > TIMESTAMP '{_Q3_DATE} 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_c4 DESC, l_orderkey
+LIMIT 10"""
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5-shaped 6-way join (local supplier volume): region ->
+    nation -> supplier/customer dims broadcast; the only shuffles are
+    the two fact joins (orders on custkey, lineitem on orderkey). The
+    c_nationkey = s_nationkey "local" constraint rides the lineitem
+    join. Revenue in integer 1e-4 units."""
+    n_asia = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .join(
+            spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+                F.col("r_name") == "ASIA"
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", F.expr(_REV_C4).alias("rev")
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n_asia), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("rev").alias("revenue_c4"))
+    )
+
+
+def _tpch_q5_sql():
+    return f"""
+SELECT n_name, CAST(SUM({_REV_C4}) AS BIGINT) AS revenue_c4
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS THE GRADING WINDOW: the driver grades exactly the first
     # 50 entries. Round 4 leads with the 8 queries evicted from the
@@ -4499,6 +4737,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "rolling_active": q_rolling_active,
         "trimmed_stats": q_trimmed_stats,
+        "ohlc_bars": q_ohlc_bars,
+        "cumulative_users": q_cumulative_users,
+        "rate_anomaly": q_rate_anomaly,
+        "phash_clusters": q_phash_clusters,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
         "activity_streaks": q_activity_streaks,
         "pmi_pairs": q_pmi_pairs,
         "coverage_jaccard": q_coverage_jaccard,
@@ -4631,6 +4875,12 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": _phrase_search_sql(),
         "rolling_active": _rolling_active_sql(),
         "trimmed_stats": _trimmed_stats_sql(),
+        "ohlc_bars": _ohlc_bars_sql(),
+        "cumulative_users": _cumulative_users_sql(),
+        "rate_anomaly": _rate_anomaly_sql(),
+        "phash_clusters": _phash_clusters_sql(),
+        "tpch_q3": _tpch_q3_sql(),
+        "tpch_q5": _tpch_q5_sql(),
         "activity_streaks": _activity_streaks_sql(),
         "pmi_pairs": _pmi_pairs_sql(),
         "coverage_jaccard": _coverage_jaccard_sql(),

@@ -355,6 +355,8 @@ def run_suite() -> None:
         "gap_fill", "label_prop", "record_linkage", "topk_delta",
         "stay_points",
         "phash_dups", "audio_dups", "skew_zipf",
+        "ohlc_bars", "cumulative_users", "rate_anomaly", "phash_clusters",
+        "tpch_q3", "tpch_q5",
     ]
     qs = E.queries()
     # warmup at the smallest sf: codegen/JIT caches, python worker pool,
@@ -485,28 +487,34 @@ def run_suite() -> None:
         json.dump(result, f, indent=2)
     # The driver captures only the LAST 2000 chars of stdout and parses
     # that tail (BENCH_r03.json arrived head-truncated and unparseable).
-    # Emit, as the very last line, a compact JSON that is guaranteed to
-    # fit: drop the env block, use tight separators, and degrade the
-    # per-query rounding (3 -> 2 -> 1 decimals) until the line fits the
-    # 2000-char window with margin. All per-query times stay in the
-    # line; full precision lives in BENCH/suite_latest.json.
-    line = ""
-    for nd in (3, 2, 1):
+    # Emit, as the very last line, a compact JSON guaranteed to fit:
+    # tight separators, 2-decimal rounding, no env block, and — since
+    # ~100 query names physically exceed 2000 chars — the per-query dict
+    # keeps headline order (changeset block first, the part r03's tail
+    # lost) and trims from the TAIL until the line fits, recording the
+    # omitted names' count; the untrimmed full-precision record is
+    # always in BENCH/suite_latest.json.
+    ordered = [n for n in ["pages_diff_rollup"] + headline if n in times]
+    keep = len(ordered)
+    while keep > 0:
         compact = {
-            "metric": "suite" if nd == 1 else "suite_wall_time",
-            "value": round(result["value"], nd),
+            "metric": "suite_wall_time",
+            "value": round(result["value"], 2),
             "unit": "sec",
-            "queries": {k: round(v, nd) for k, v in times.items()},
+            "queries": {n: round(times[n], 2) for n in ordered[:keep]},
             "sf": result["sf"],
             "pages_diff_rows_per_sec": round(rows / dt),
+            "queries_omitted": len(ordered) - keep,
+            "full": "BENCH/suite_latest.json",
         }
         if "scaling" in result:
             compact["scaling_efficiency"] = round(
                 result["scaling"]["scaling_efficiency"], 3
             )
         line = json.dumps(compact, separators=(",", ":"))
-        if len(line) <= 1950:
+        if len(line) <= 1940:
             break
+        keep -= 1
     print(line, flush=True)
 
 

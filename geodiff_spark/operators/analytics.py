@@ -374,3 +374,221 @@ def assoc_rules_sql(
            CAST((pc.n_pair * {ASSOC_SCALE}) // ib.n_it AS BIGINT) AS conf_ba
     FROM pc JOIN ic ia ON pc.a = ia.it JOIN ic ib ON pc.b = ib.it
     """
+
+
+# --------------------------------------------------------------------------
+# time-bucketed bar / first-seen / anomaly operators (round 4)
+# --------------------------------------------------------------------------
+
+def ohlc_bars(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    val_col: str,
+    tiebreak_col: str,
+    *,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Open/high/low/close bars per (keys, time bucket) — the metric
+    rollup every monitoring/market pipeline runs. ONE map-side-combining
+    groupBy: open/close are ``min_by``/``max_by`` over the total order
+    (ts, tiebreak) — no window, no sort, no second shuffle (a
+    row_number() formulation would add a full partition sort). Values
+    pass through untouched (no float arithmetic), so cross-engine
+    equality is exact. -> (keys..., bkt, open, high, low, close, n)."""
+    from .temporal import _micros
+
+    g_us = int(bucket_seconds) * 1_000_000
+    b = df.withColumn(
+        "bkt", F.floor(_micros(F.col(ts_col)) / F.lit(g_us)).cast("long")
+    )
+    order = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    return b.groupBy(*key_cols, "bkt").agg(
+        F.min_by(F.col(val_col), order).alias("open"),
+        F.max(val_col).alias("high"),
+        F.min(val_col).alias("low"),
+        F.max_by(F.col(val_col), order).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def ohlc_bars_sql(
+    src_sql: str,
+    key_cols: list[str],
+    ts_col: str,
+    val_col: str,
+    tiebreak_col: str,
+    *,
+    bucket_seconds: int = 3600,
+) -> str:
+    """DuckDB twin of :func:`ohlc_bars` (row_number restatement of the
+    min_by/max_by total order — semantics, not algorithm)."""
+    g_us = int(bucket_seconds) * 1_000_000
+    keys = ", ".join(key_cols)
+    return f"""
+    WITH x AS (
+      SELECT {keys}, epoch_us({ts_col}) // {g_us} AS bkt,
+             {val_col} AS v, {ts_col} AS ts, {tiebreak_col} AS tb
+      FROM ({src_sql})
+    ),
+    o AS (
+      SELECT {keys}, bkt, v,
+             row_number() OVER (PARTITION BY {keys}, bkt
+                                ORDER BY ts, tb) AS rn_a,
+             row_number() OVER (PARTITION BY {keys}, bkt
+                                ORDER BY ts DESC, tb DESC) AS rn_d
+      FROM x
+    )
+    SELECT {keys}, bkt,
+           MAX(CASE WHEN rn_a = 1 THEN v END) AS open,
+           MAX(v) AS high, MIN(v) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN v END) AS close,
+           COUNT(*) AS n
+    FROM o GROUP BY {keys}, bkt
+    """
+
+
+def cumulative_distinct(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    *,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Running distinct-entity count per time bucket ("cumulative users
+    by day") WITHOUT a running distinct state: first-seen bucket per
+    entity (one groupBy), new-entity count per bucket (one groupBy over
+    #entities rows), then the two-phase range-partitioned cumsum from
+    corpus.global_cumsum — no single-partition global window, no
+    per-row distinct set. -> (bkt, new_ids, cum_ids)."""
+    from .corpus import global_cumsum
+    from .temporal import _micros
+
+    g_us = int(bucket_seconds) * 1_000_000
+    first = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.floor(_micros(F.col(ts_col)) / F.lit(g_us))
+            .cast("long")
+            .alias("bkt"),
+        )
+        .groupBy("_id")
+        .agg(F.min("bkt").alias("bkt"))
+    )
+    per_bkt = first.groupBy("bkt").agg(F.count(F.lit(1)).alias("new_ids"))
+    return global_cumsum(per_bkt, ["bkt"], "new_ids", out="cum_ids").select(
+        "bkt", "new_ids", F.col("cum_ids").cast("long").alias("cum_ids")
+    )
+
+
+def cumulative_distinct_sql(
+    src_sql: str,
+    id_col: str,
+    ts_col: str,
+    *,
+    bucket_seconds: int = 86400,
+) -> str:
+    """DuckDB twin of :func:`cumulative_distinct`."""
+    g_us = int(bucket_seconds) * 1_000_000
+    return f"""
+    WITH first AS (
+      SELECT {id_col} AS id,
+             MIN(epoch_us({ts_col}) // {g_us}) AS bkt
+      FROM ({src_sql}) GROUP BY {id_col}
+    ),
+    per AS (SELECT bkt, COUNT(*) AS new_ids FROM first GROUP BY bkt)
+    SELECT bkt, new_ids,
+           CAST(SUM(new_ids) OVER (ORDER BY bkt) AS BIGINT) AS cum_ids
+    FROM per
+    """
+
+
+def rate_anomaly(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    *,
+    bucket_seconds: int = 3600,
+    trail: int = 24,
+    k: int = 3,
+    min_hist: int = 6,
+) -> DataFrame:
+    """Integer-exact trailing-window rate-anomaly flags: per (keys,
+    bucket) event counts, compared against the mean/variance of the
+    previous ``trail`` buckets. The z-score test |x - mean| > k*sigma is
+    evaluated WITHOUT floats via the cleared-denominator form
+
+        (c*x - s)^2 > k^2 * (c*q - s^2) * c
+
+    (c = trailing bucket count, s = sum, q = sum of squares; both sides
+    exact int64 — counts are bounded by rows/bucket so no overflow at
+    sane bucketings). The trailing stats are one RANGE window per key —
+    banded by bucket index, never a global sort. Buckets with fewer
+    than ``min_hist`` history points never flag.
+    -> (keys..., bkt, n, flagged)."""
+    from pyspark.sql import Window
+
+    from .temporal import _micros
+
+    g_us = int(bucket_seconds) * 1_000_000
+    counts = (
+        df.withColumn(
+            "bkt", F.floor(_micros(F.col(ts_col)) / F.lit(g_us)).cast("long")
+        )
+        .groupBy(*key_cols, "bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bkt")
+        .rangeBetween(-int(trail), -1)
+    )
+    stats = counts.select(
+        *key_cols, "bkt", "n",
+        F.coalesce(F.count("n").over(w), F.lit(0)).alias("_c"),
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("_s"),
+        F.coalesce(F.sum(F.col("n") * F.col("n")).over(w), F.lit(0)).alias("_q"),
+    )
+    c, s, q, n = (F.col(x) for x in ("_c", "_s", "_q", "n"))
+    dev = c * n - s
+    flag = (c >= int(min_hist)) & (
+        dev * dev > F.lit(int(k) * int(k)) * (c * q - s * s) * c
+    )
+    return stats.select(*key_cols, "bkt", "n", flag.alias("flagged"))
+
+
+def rate_anomaly_sql(
+    src_sql: str,
+    key_cols: list[str],
+    ts_col: str,
+    *,
+    bucket_seconds: int = 3600,
+    trail: int = 24,
+    k: int = 3,
+    min_hist: int = 6,
+) -> str:
+    """DuckDB twin of :func:`rate_anomaly` (same cleared-denominator
+    integer test, same RANGE frame)."""
+    g_us = int(bucket_seconds) * 1_000_000
+    keys = ", ".join(key_cols)
+    return f"""
+    WITH counts AS (
+      SELECT {keys}, epoch_us({ts_col}) // {g_us} AS bkt,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ({src_sql}) GROUP BY {keys}, bkt
+    ),
+    stats AS (
+      SELECT {keys}, bkt, n,
+        CAST(COALESCE(COUNT(n) OVER wt, 0) AS BIGINT) AS c,
+        CAST(COALESCE(SUM(n) OVER wt, 0) AS BIGINT) AS s,
+        CAST(COALESCE(SUM(n * n) OVER wt, 0) AS BIGINT) AS q
+      FROM counts
+      WINDOW wt AS (PARTITION BY {keys} ORDER BY bkt
+                    RANGE BETWEEN {int(trail)} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT {keys}, bkt, n,
+           (c >= {int(min_hist)} AND
+            (c*n - s)*(c*n - s) > {int(k) * int(k)} * (c*q - s*s) * c)
+             AS flagged
+    FROM stats
+    """
