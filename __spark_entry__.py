@@ -4574,6 +4574,90 @@ _REV_C4 = f"{_CENTS} * (100 - {_DISC_C})"
 _Q3_DATE = "1998-06-01"
 
 
+def q_cusum_alerts(spark, sf_dir):
+    """CUSUM change-point detector distributed via the prefix identity
+    S_t = P_t - min(0, running_min(P)) — two cumulative frames per key,
+    integer-exact, no sequential recursion."""
+    from geodiff_spark.operators.analytics import cusum_alerts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cusum_alerts(
+        ev, ["event_type"], "ts", bucket_seconds=3600, drift=1, threshold=10
+    )
+
+
+def _cusum_alerts_sql():
+    from geodiff_spark.operators.analytics import cusum_alerts_sql
+
+    return cusum_alerts_sql(
+        "SELECT * FROM events", ["event_type"], "ts",
+        bucket_seconds=3600, drift=1, threshold=10,
+    )
+
+
+# integer grid for the IDW fill: quantized customer positions (the same
+# modular placement as _LAT/_LON but kept integer end to end)
+_IDW_GX = "CAST((c_custkey * 7919) % 16000 AS BIGINT) // 400"
+_IDW_GY = "CAST((c_custkey * 104729) % 35000 AS BIGINT) // 700"
+
+
+def q_idw_fill(spark, sf_dir):
+    """Raster gap-fill: IDW over the 8-neighborhood with lcm-cleared
+    integer weights — one bounded explode + one groupBy + anti join,
+    every output digit exact."""
+    from geodiff_spark.spatial.interp import idw_fill
+
+    cells = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(
+            F.expr("(c_custkey * 7919) % 16000 div 400").alias("gx"),
+            F.expr("(c_custkey * 104729) % 35000 div 700").alias("gy"),
+        )
+        .groupBy("gx", "gy")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    return idw_fill(cells, "gx", "gy", "v", scale=1000)
+
+
+def _idw_fill_sql():
+    from geodiff_spark.spatial.interp import idw_fill_sql
+
+    return idw_fill_sql(
+        f"SELECT {_IDW_GX} AS gx, {_IDW_GY} AS gy, COUNT(*) AS v "
+        "FROM customer GROUP BY 1, 2",
+        "gx", "gy", "v", scale=1000,
+    )
+
+
+def q_polyline_keypoints(spark, sf_dir):
+    """Trajectory decimation (window-local Douglas-Peucker cousin):
+    integer cross-product curvature over lag/lead neighbors flags the
+    shape-carrying points of each user's sawtooth walk; ONE key-window
+    shuffle, no floats, no UDF."""
+    from geodiff_spark.spatial.trajectory import polyline_keypoints
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("x", F.expr("unix_micros(cast(ts as timestamp)) div 3600000000"))
+        .withColumn("y", F.expr("abs(((user_id * 7 + x) % 41) - 20)"))
+        .select("user_id", "ts", "event_id", "x", "y")
+    )
+    return polyline_keypoints(
+        ev, "user_id", "ts", "x", "y", "event_id", tol=0
+    )
+
+
+def _polyline_keypoints_sql():
+    from geodiff_spark.spatial.trajectory import polyline_keypoints_sql
+
+    return polyline_keypoints_sql(
+        "SELECT user_id, ts, event_id, epoch_us(ts) // 3600000000 AS x, "
+        "abs(((user_id * 7 + epoch_us(ts) // 3600000000) % 41) - 20) AS y "
+        "FROM events",
+        "user_id", "ts", "x", "y", "event_id", tol=0,
+    )
+
+
 def q_tpch_q3(spark, sf_dir):
     """TPC-H Q3-shaped 3-way join (shipping priority): filtered customer
     dim BROADCASTs into orders, the fact join on l_orderkey shuffles
@@ -4743,6 +4827,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_clusters": q_phash_clusters,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "cusum_alerts": q_cusum_alerts,
+        "idw_fill": q_idw_fill,
+        "polyline_keypoints": q_polyline_keypoints,
         "activity_streaks": q_activity_streaks,
         "pmi_pairs": q_pmi_pairs,
         "coverage_jaccard": q_coverage_jaccard,
@@ -4881,6 +4968,9 @@ def oracle_sql() -> dict[str, str]:
         "phash_clusters": _phash_clusters_sql(),
         "tpch_q3": _tpch_q3_sql(),
         "tpch_q5": _tpch_q5_sql(),
+        "cusum_alerts": _cusum_alerts_sql(),
+        "idw_fill": _idw_fill_sql(),
+        "polyline_keypoints": _polyline_keypoints_sql(),
         "activity_streaks": _activity_streaks_sql(),
         "pmi_pairs": _pmi_pairs_sql(),
         "coverage_jaccard": _coverage_jaccard_sql(),

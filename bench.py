@@ -356,7 +356,8 @@ def run_suite() -> None:
         "stay_points",
         "phash_dups", "audio_dups", "skew_zipf",
         "ohlc_bars", "cumulative_users", "rate_anomaly", "phash_clusters",
-        "tpch_q3", "tpch_q5",
+        "tpch_q3", "tpch_q5", "cusum_alerts", "idw_fill",
+        "polyline_keypoints",
     ]
     qs = E.queries()
     # warmup at the smallest sf: codegen/JIT caches, python worker pool,

@@ -592,3 +592,90 @@ def rate_anomaly_sql(
              AS flagged
     FROM stats
     """
+
+
+def cusum_alerts(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    *,
+    bucket_seconds: int = 3600,
+    drift: int = 1,
+    threshold: int = 10,
+) -> DataFrame:
+    """CUSUM change-point alerts over per-(key, bucket) event counts.
+
+    The textbook recursion S_t = max(0, S_{t-1} + x_t) (x = n - drift)
+    looks sequential, but distributes exactly via the prefix identity
+
+        S_t = P_t - min(0, min_{j<=t} P_j),      P_t = sum_{j<=t} x_j
+
+    so the whole detector is two cumulative window frames per key —
+    integer-exact (counts and drift are ints), no UDF, no iteration,
+    no driver loop. Alert fires while S_t > threshold. The window
+    partition is one key's bucket series (bounded by the time range,
+    not data volume — a year of hourly buckets is 8.8k rows), so the
+    per-key sort never concentrates raw events.
+    -> (keys..., bkt, n, cusum, alert)."""
+    from pyspark.sql import Window
+
+    from .temporal import _micros
+
+    g_us = int(bucket_seconds) * 1_000_000
+    counts = (
+        df.withColumn(
+            "bkt", F.floor(_micros(F.col(ts_col)) / F.lit(g_us)).cast("long")
+        )
+        .groupBy(*key_cols, "bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = F.sum(F.col("n") - F.lit(int(drift))).over(w)
+    stats = counts.withColumn("_p", p).withColumn(
+        "cusum", F.col("_p") - F.least(F.lit(0), F.min("_p").over(w))
+    )
+    return stats.select(
+        *key_cols, "bkt", "n", "cusum",
+        (F.col("cusum") > F.lit(int(threshold))).alias("alert"),
+    )
+
+
+def cusum_alerts_sql(
+    src_sql: str,
+    key_cols: list[str],
+    ts_col: str,
+    *,
+    bucket_seconds: int = 3600,
+    drift: int = 1,
+    threshold: int = 10,
+) -> str:
+    """DuckDB twin of :func:`cusum_alerts` (same prefix identity)."""
+    g_us = int(bucket_seconds) * 1_000_000
+    keys = ", ".join(key_cols)
+    return f"""
+    WITH counts AS (
+      SELECT {keys}, epoch_us({ts_col}) // {g_us} AS bkt,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ({src_sql}) GROUP BY {keys}, bkt
+    ),
+    pref AS (
+      SELECT {keys}, bkt, n,
+             SUM(n - {int(drift)}) OVER (PARTITION BY {keys} ORDER BY bkt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      FROM counts
+    ),
+    pre AS (
+      SELECT {keys}, bkt, n, p,
+             MIN(p) OVER (PARTITION BY {keys} ORDER BY bkt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS minp
+      FROM pref
+    )
+    SELECT {keys}, bkt, n,
+           CAST(p - LEAST(0, minp) AS BIGINT) AS cusum,
+           (p - LEAST(0, minp)) > {int(threshold)} AS alert
+    FROM pre
+    """

@@ -147,3 +147,85 @@ def stay_points_sql(
            start_us, end_us, CAST(n_points AS BIGINT) AS n_points, dur_ms
     FROM st WHERE dur_ms >= {1000 * int(min_duration_s)}
     """
+
+
+def polyline_keypoints(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    x_col: str,
+    y_col: str,
+    tiebreak_col: str,
+    *,
+    tol: int = 2,
+) -> DataFrame:
+    """Curvature-based trajectory decimation: keep the points that
+    carry a polyline's shape, drop the collinear middles — the
+    window-local cousin of Douglas-Peucker (DP's recursive global
+    split is inherently sequential per line; this local criterion is
+    ONE lag/lead window per key and scales to billions of pings).
+
+    A point is a keypoint iff it is an endpoint of its key's sequence,
+    or its perpendicular deviation from the chord (prev -> next)
+    exceeds ``tol`` grid units. With integer coords the test clears
+    denominators exactly:
+
+        cross^2 > tol^2 * |chord|^2        (chord nonzero)
+        |cur - prev|^2 > tol^2             (out-and-back: chord == 0)
+
+    where cross = (x1-x0)*(y2-y0) - (y1-y0)*(x2-x0) — the same integer
+    orientation kernel as spatial/segments.py. No floats, no UDF; the
+    per-key window sort is the only shuffle.
+    -> (key, ts, x, y, is_keypoint)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    x0, y0 = F.lag(x_col).over(w), F.lag(y_col).over(w)
+    x2, y2 = F.lead(x_col).over(w), F.lead(y_col).over(w)
+    x1, y1 = F.col(x_col), F.col(y_col)
+    cross = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+    chord2 = (x2 - x0) * (x2 - x0) + (y2 - y0) * (y2 - y0)
+    d2 = (x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0)
+    t2 = F.lit(int(tol) * int(tol))
+    keep = (
+        x0.isNull()
+        | x2.isNull()
+        | F.when(chord2 == 0, d2 > t2).otherwise(cross * cross > t2 * chord2)
+    )
+    return df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(x_col),
+        F.col(y_col),
+        keep.alias("is_keypoint"),
+    )
+
+
+def polyline_keypoints_sql(
+    src_sql: str,
+    key_col: str,
+    ts_col: str,
+    x_col: str,
+    y_col: str,
+    tiebreak_col: str,
+    *,
+    tol: int = 2,
+) -> str:
+    """DuckDB twin of :func:`polyline_keypoints`."""
+    t2 = int(tol) * int(tol)
+    return f"""
+    WITH p AS (
+      SELECT {key_col}, {ts_col}, {x_col}, {y_col},
+             LAG({x_col}) OVER wk AS x0, LAG({y_col}) OVER wk AS y0,
+             LEAD({x_col}) OVER wk AS x2, LEAD({y_col}) OVER wk AS y2
+      FROM ({src_sql})
+      WINDOW wk AS (PARTITION BY {key_col} ORDER BY {ts_col}, {tiebreak_col})
+    )
+    SELECT {key_col}, {ts_col}, {x_col}, {y_col},
+      (x0 IS NULL OR x2 IS NULL OR
+       CASE WHEN (x2-x0)*(x2-x0) + (y2-y0)*(y2-y0) = 0
+            THEN ({x_col}-x0)*({x_col}-x0) + ({y_col}-y0)*({y_col}-y0) > {t2}
+            ELSE (({x_col}-x0)*(y2-y0) - ({y_col}-y0)*(x2-x0))
+                 * (({x_col}-x0)*(y2-y0) - ({y_col}-y0)*(x2-x0))
+                 > {t2} * ((x2-x0)*(x2-x0) + (y2-y0)*(y2-y0)) END)
+        AS is_keypoint
+    FROM p
+    """
