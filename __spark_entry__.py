@@ -4574,6 +4574,50 @@ _REV_C4 = f"{_CENTS} * (100 - {_DISC_C})"
 _Q3_DATE = "1998-06-01"
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """GRADED STREAMING query #3: bounded-state first-seen dedup ACROSS
+    micro-batches. The source dir holds the events file TWICE and
+    maxFilesPerTrigger=1 forces two batches, so the second copy is
+    dropped by the dropDuplicatesWithinWatermark STATE STORE (or as
+    watermark-late rows — either path deletes only duplicates). The
+    final append-mode output must equal the batch table exactly; rows
+    carry only deterministic columns so whichever physical duplicate
+    wins, the bytes are identical. State stays O(arrival rate x
+    watermark), the 100 TB ingest regime (streaming/dedup.py)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from geodiff_spark.streaming.dedup import dedup_stream
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = tempfile.mkdtemp(prefix="stream_dedup_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/part-0.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/part-1.parquet")
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        dedup_stream(stream, ["event_id"], ts_col="ts", watermark="1 hour")
+        .select("event_id", "user_id", "event_type")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+_STREAM_DEDUP_SQL = "SELECT event_id, user_id, event_type FROM events"
+
+
 def q_cusum_alerts(spark, sf_dir):
     """CUSUM change-point detector distributed via the prefix identity
     S_t = P_t - min(0, running_min(P)) — two cumulative frames per key,
@@ -4830,6 +4874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_alerts": q_cusum_alerts,
         "idw_fill": q_idw_fill,
         "polyline_keypoints": q_polyline_keypoints,
+        "streaming_dedup": q_streaming_dedup,
         "activity_streaks": q_activity_streaks,
         "pmi_pairs": q_pmi_pairs,
         "coverage_jaccard": q_coverage_jaccard,
@@ -4971,6 +5016,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_alerts": _cusum_alerts_sql(),
         "idw_fill": _idw_fill_sql(),
         "polyline_keypoints": _polyline_keypoints_sql(),
+        "streaming_dedup": _STREAM_DEDUP_SQL,
         "activity_streaks": _activity_streaks_sql(),
         "pmi_pairs": _pmi_pairs_sql(),
         "coverage_jaccard": _coverage_jaccard_sql(),

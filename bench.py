@@ -357,7 +357,7 @@ def run_suite() -> None:
         "phash_dups", "audio_dups", "skew_zipf",
         "ohlc_bars", "cumulative_users", "rate_anomaly", "phash_clusters",
         "tpch_q3", "tpch_q5", "cusum_alerts", "idw_fill",
-        "polyline_keypoints",
+        "polyline_keypoints", "streaming_dedup",
     ]
     qs = E.queries()
     # warmup at the smallest sf: codegen/JIT caches, python worker pool,
