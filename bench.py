@@ -315,6 +315,38 @@ def _cap_work(_) -> float:
     return time.perf_counter() - t0
 
 
+def compact_line(result: dict, order: list[str], limit: int = 1940) -> str:
+    """The driver-facing stdout line: compact JSON ≤ ``limit`` chars
+    (the driver parses only the LAST 2000 chars of stdout). Per-query
+    times keep ``order`` (headline order — changeset block first) and
+    are trimmed from the TAIL until the line fits; the omitted count is
+    explicit and the untrimmed record is always BENCH/suite_latest.json."""
+    times = result["queries"]
+    ordered = [n for n in order if n in times]
+    keep = len(ordered)
+    line = "{}"
+    while keep >= 0:
+        compact = {
+            "metric": "suite_wall_time",
+            "value": round(result["value"], 2),
+            "unit": "sec",
+            "queries": {n: round(times[n], 2) for n in ordered[:keep]},
+            "sf": result["sf"],
+            "pages_diff_rows_per_sec": result.get("pages_diff_rows_per_sec"),
+            "queries_omitted": len(ordered) - keep,
+            "full": "BENCH/suite_latest.json",
+        }
+        if "scaling" in result:
+            compact["scaling_efficiency"] = round(
+                result["scaling"]["scaling_efficiency"], 3
+            )
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) <= limit:
+            break
+        keep -= 1
+    return line
+
+
 def run_suite() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -495,28 +527,7 @@ def run_suite() -> None:
     # lost) and trims from the TAIL until the line fits, recording the
     # omitted names' count; the untrimmed full-precision record is
     # always in BENCH/suite_latest.json.
-    ordered = [n for n in ["pages_diff_rollup"] + headline if n in times]
-    keep = len(ordered)
-    while keep > 0:
-        compact = {
-            "metric": "suite_wall_time",
-            "value": round(result["value"], 2),
-            "unit": "sec",
-            "queries": {n: round(times[n], 2) for n in ordered[:keep]},
-            "sf": result["sf"],
-            "pages_diff_rows_per_sec": round(rows / dt),
-            "queries_omitted": len(ordered) - keep,
-            "full": "BENCH/suite_latest.json",
-        }
-        if "scaling" in result:
-            compact["scaling_efficiency"] = round(
-                result["scaling"]["scaling_efficiency"], 3
-            )
-        line = json.dumps(compact, separators=(",", ":"))
-        if len(line) <= 1940:
-            break
-        keep -= 1
-    print(line, flush=True)
+    print(compact_line(result, ["pages_diff_rollup"] + headline), flush=True)
 
 
 if __name__ == "__main__":

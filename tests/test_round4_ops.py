@@ -116,3 +116,31 @@ def test_salted_window_totals_plan_has_no_window_and_broadcasts(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan  # no single-task hot-key sort
     assert "BroadcastHashJoin" in plan  # totals come back as a broadcast
+
+
+def test_bench_compact_line_always_fits_and_parses():
+    """The driver parses only the last 2000 stdout chars; the emitted
+    line must fit with margin for ANY suite size, keep headline order,
+    and disclose how many per-query entries were trimmed."""
+    import json
+
+    import bench
+
+    names = [f"query_with_a_long_name_{i:03d}" for i in range(200)]
+    result = {
+        "value": 123.456,
+        "queries": {n: 1.234 for n in names},
+        "sf": 0.1,
+        "pages_diff_rows_per_sec": 313393.9,
+    }
+    line = bench.compact_line(result, names)
+    assert len(line) <= 1940
+    d = json.loads(line)
+    kept = list(d["queries"])
+    assert kept == names[: len(kept)]  # headline order, tail-trimmed
+    assert d["queries_omitted"] == len(names) - len(kept)
+    assert d["unit"] == "sec" and d["sf"] == 0.1
+    # small suites are not trimmed at all
+    small = {**result, "queries": {n: 1.2 for n in names[:40]}}
+    d2 = json.loads(bench.compact_line(small, names))
+    assert d2["queries_omitted"] == 0 and len(d2["queries"]) == 40
