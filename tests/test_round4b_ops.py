@@ -1,0 +1,153 @@
+"""Round-4 batch-3 operators: CUSUM prefix identity, IDW fill, and
+curvature keypoints — each pinned to a straight sequential/naive Python
+model (house style: the oracle gate proves cross-engine exactness, these
+prove the *semantics* match the textbook definition)."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# CUSUM: prefix identity == sequential recursion
+# --------------------------------------------------------------------------
+
+def seq_cusum(xs, drift):
+    s, out = 0, []
+    for x in xs:
+        s = max(0, s + x - drift)
+        out.append(s)
+    return out
+
+
+def prefix_cusum(xs, drift):
+    out, p, minp = [], 0, 0
+    for x in xs:
+        p += x - drift
+        minp = min(minp, p)
+        out.append(p - min(0, minp))
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(xs=st.lists(st.integers(0, 8), max_size=30), drift=st.integers(0, 4))
+def test_cusum_prefix_identity(xs, drift):
+    assert prefix_cusum(xs, drift) == seq_cusum(xs, drift)
+
+
+def test_cusum_alerts_spark_matches_sequential(spark):
+    from geodiff_spark.operators.analytics import cusum_alerts
+
+    rng = random.Random(7)
+    rows = []
+    for k in ("a", "b"):
+        for h in range(60):
+            for _ in range(rng.randrange(0, 5) + (4 if 30 <= h < 35 else 0)):
+                rows.append((k, float(h * 3600 + rng.randrange(3600))))
+    df = spark.createDataFrame(rows, "k string, sec double").select(
+        "k", F.timestamp_seconds("sec").alias("ts")
+    )
+    got = {
+        (r["k"], r["bkt"]): (r["n"], r["cusum"], r["alert"])
+        for r in cusum_alerts(
+            df, ["k"], "ts", bucket_seconds=3600, drift=2, threshold=5
+        ).collect()
+    }
+    for k in ("a", "b"):
+        hours = sorted({int(sec) // 3600 for kk, sec in rows if kk == k})
+        counts = [sum(1 for kk, sec in rows if kk == k and int(sec) // 3600 == h)
+                  for h in hours]
+        ss = seq_cusum(counts, 2)
+        for h, n, s in zip(hours, counts, ss):
+            assert got[(k, h)] == (n, s, s > 5), (k, h)
+
+
+# --------------------------------------------------------------------------
+# IDW fill: known-value neighborhoods
+# --------------------------------------------------------------------------
+
+def test_idw_fill_exact_values(spark):
+    from geodiff_spark.spatial.interp import idw_fill
+
+    # samples at (0,0)=10 and (2,0)=30: cell (1,0) sees both as edge
+    # neighbors (w=2 each) -> est = (10*2+30*2)*1000 // 4 = 20000;
+    # cell (1,1) sees both as corner neighbors (w=1) -> 20000 too;
+    # cell (-1,-1) sees only (0,0) as corner -> 10000.
+    df = spark.createDataFrame([(0, 0, 10), (2, 0, 30)], "x long, y long, v long")
+    got = {(r["x"], r["y"]): (r["n_neighbors"], r["est_milli"])
+           for r in idw_fill(df, "x", "y", "v").collect()}
+    assert got[(1, 0)] == (2, 20000)
+    assert got[(1, 1)] == (2, 20000)
+    assert got[(-1, -1)] == (1, 10000)
+    # occupied cells are never emitted
+    assert (0, 0) not in got and (2, 0) not in got
+    # asymmetric mix: (1,-1) neighbors (0,0) corner w=1, (2,0) corner w=1
+    assert got[(1, -1)] == (2, 20000)
+
+
+def test_idw_fill_weights_edges_over_corners(spark):
+    from geodiff_spark.spatial.interp import idw_fill
+
+    # (1,0) edge-adjacent to (0,0)=0 and corner-adjacent to (2,1)=30:
+    # est = (0*2 + 30*1)*1000 // 3 = 10000 (edge weight dominates)
+    df = spark.createDataFrame([(0, 0, 0), (2, 1, 30)], "x long, y long, v long")
+    got = {(r["x"], r["y"]): r["est_milli"]
+           for r in idw_fill(df, "x", "y", "v").collect()}
+    assert got[(1, 0)] == 10000
+
+
+# --------------------------------------------------------------------------
+# polyline keypoints: naive perpendicular-distance model
+# --------------------------------------------------------------------------
+
+def naive_keypoints(pts, tol):
+    out = []
+    for i, (x1, y1) in enumerate(pts):
+        if i == 0 or i == len(pts) - 1:
+            out.append(True)
+            continue
+        x0, y0 = pts[i - 1]
+        x2, y2 = pts[i + 1]
+        cross = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+        chord2 = (x2 - x0) ** 2 + (y2 - y0) ** 2
+        if chord2 == 0:
+            out.append((x1 - x0) ** 2 + (y1 - y0) ** 2 > tol * tol)
+        else:
+            out.append(cross * cross > tol * tol * chord2)
+    return out
+
+
+def test_polyline_keypoints_matches_naive(spark):
+    from geodiff_spark.spatial.trajectory import polyline_keypoints
+
+    rng = random.Random(11)
+    pts = [(0, 0)]
+    for _ in range(60):
+        x, y = pts[-1]
+        pts.append((x + rng.randrange(0, 3), y + rng.randrange(-2, 3)))
+    rows = [(1, i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "k long, ts long, x long, y long")
+    for tol in (0, 1, 2):
+        got = [
+            r["is_keypoint"]
+            for r in polyline_keypoints(
+                df, "k", "ts", "x", "y", "ts", tol=tol
+            ).orderBy("ts").collect()
+        ]
+        assert got == naive_keypoints(pts, tol), f"tol={tol}"
+
+
+def test_polyline_keypoints_collinear_run_drops_middles(spark):
+    from geodiff_spark.spatial.trajectory import polyline_keypoints
+
+    # straight line: only endpoints are keypoints at tol=0
+    rows = [(1, i, i, 2 * i) for i in range(10)]
+    df = spark.createDataFrame(rows, "k long, ts long, x long, y long")
+    got = [r["is_keypoint"] for r in polyline_keypoints(
+        df, "k", "ts", "x", "y", "ts", tol=0).orderBy("ts").collect()]
+    assert got == [True] + [False] * 8 + [True]
