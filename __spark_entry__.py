@@ -4565,6 +4565,150 @@ FROM comp"""
     )
 
 
+def q_lsh_recall(spark, sf_dir):
+    """GRADED EVAL-HARNESS query: measure MinHash-LSH candidate recall
+    against the exact n-gram-Jaccard ground truth on the same corpus —
+    the quality audit every production dedup pipeline runs on a sample
+    before trusting the sketch at 10^12 scale. truth = exact shingle
+    pairs (jaccard >= 0.5); cand = raw band-collision pairs (no
+    signature filter). ONE summary row: n_true, n_cand, n_hit, and the
+    integer recall_milli = n_hit*1000 div n_true."""
+    d = _docs_doubled(spark, sf_dir)
+    truth = ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5
+    ).select("id_a", "id_b")
+    cand = minhash_lsh_pairs(
+        d, "doc_id", "text", num_perm=64, bands=16, threshold=0.0
+    ).select("id_a", "id_b")
+    hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_cand")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_true", "n_cand", "n_hit",
+            F.expr("n_hit * 1000 div n_true").alias("recall_milli"),
+        )
+    )
+
+
+def _lsh_recall_sql():
+    from geodiff_spark.functions.hash_sql import minhash_lsh_oracle_sql
+
+    truth = ngram_jaccard_sql(
+        f"({_DOCS_DOUBLED_SQL})", "doc_id", "text", n=3, threshold=0.5
+    )
+    cand = minhash_lsh_oracle_sql(
+        _DOCS_DOUBLED_SQL, "doc_id", "text",
+        num_perm=64, bands=16, shingle_n=3, threshold=0.0,
+    )
+    return f"""
+WITH truth AS (SELECT id_a, id_b FROM ({truth})),
+cand AS (SELECT id_a, id_b FROM ({cand})),
+hit AS (SELECT * FROM truth WHERE EXISTS
+        (SELECT 1 FROM cand WHERE cand.id_a = truth.id_a
+                              AND cand.id_b = truth.id_b))
+SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+       (SELECT COUNT(*) FROM cand) AS n_cand,
+       (SELECT COUNT(*) FROM hit) AS n_hit,
+       (SELECT COUNT(*) FROM hit) * 1000
+         // (SELECT COUNT(*) FROM truth) AS recall_milli"""
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18-shaped large-volume-customer query: the HAVING set
+    (orders with total quantity > 300) reduces first — one lineitem
+    groupBy — then drives semi-shaped joins back through orders and
+    customer. Quantities are integral doubles (1..50), so sums are
+    exact and cast losslessly to BIGINT."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice",
+                "total_qty")
+    )
+
+
+def _tpch_q18_sql():
+    return """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+       CAST(total_qty AS BIGINT) AS total_qty
+FROM (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 300) big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey"""
+
+
+def q_decayed_counts(spark, sf_dir):
+    """Exponentially-decayed event counters (the half-life score behind
+    trending/ranking features), integer-exact: per-(key, hour-bucket)
+    counts contribute n << (H - age) with age = key's max bucket - b,
+    buckets older than H = 40 dropped. One groupBy + one bounded window
+    max + one final fold; every bit reproducible cross-engine (decay
+    factor 2 keeps the weights integral)."""
+    from geodiff_spark.operators.temporal import _micros
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    counts = (
+        ev.withColumn(
+            "bkt",
+            F.floor(_micros(F.col("ts")) / F.lit(3_600_000_000)).cast("long"),
+        )
+        .groupBy("event_type", "bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type")
+    aged = counts.withColumn("maxb", F.max("bkt").over(w)).filter(
+        F.col("maxb") - F.col("bkt") <= 40
+    )
+    return aged.groupBy("event_type").agg(
+        F.sum(
+            F.expr(
+                "n * shiftleft(cast(1 as bigint),"
+                " cast(40 - (maxb - bkt) as int))"
+            )
+        ).alias("decayed_score"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+
+
+def _decayed_counts_sql():
+    return """
+WITH counts AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS bkt,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+aged AS (
+  SELECT event_type, bkt, n,
+         MAX(bkt) OVER (PARTITION BY event_type) AS maxb
+  FROM counts
+)
+SELECT event_type,
+       CAST(SUM(n * (CAST(1 AS BIGINT) << CAST(40 - (maxb - bkt) AS INTEGER)))
+            AS BIGINT) AS decayed_score,
+       COUNT(*) AS n_buckets
+FROM aged WHERE maxb - bkt <= 40
+GROUP BY event_type"""
+
+
 # money discipline for the multi-way join queries: integer 1e-4 currency
 # units (cents * (100 - discount_cents)) — exact cross-engine, the same
 # integer-exactness rule as every other graded aggregate.
@@ -4875,6 +5019,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw_fill": q_idw_fill,
         "polyline_keypoints": q_polyline_keypoints,
         "streaming_dedup": q_streaming_dedup,
+        "lsh_recall": q_lsh_recall,
+        "tpch_q18": q_tpch_q18,
+        "decayed_counts": q_decayed_counts,
         "activity_streaks": q_activity_streaks,
         "pmi_pairs": q_pmi_pairs,
         "coverage_jaccard": q_coverage_jaccard,
@@ -5017,6 +5164,9 @@ def oracle_sql() -> dict[str, str]:
         "idw_fill": _idw_fill_sql(),
         "polyline_keypoints": _polyline_keypoints_sql(),
         "streaming_dedup": _STREAM_DEDUP_SQL,
+        "lsh_recall": _lsh_recall_sql(),
+        "tpch_q18": _tpch_q18_sql(),
+        "decayed_counts": _decayed_counts_sql(),
         "activity_streaks": _activity_streaks_sql(),
         "pmi_pairs": _pmi_pairs_sql(),
         "coverage_jaccard": _coverage_jaccard_sql(),
