@@ -4565,6 +4565,41 @@ FROM comp"""
     )
 
 
+# synthetic milli-axial hex coordinates per customer (the caller-side
+# quantization step; the graded kernel is the exact cube rounding)
+_HEX_QM = "((c_custkey * 7919) % 4000000 - 2000000)"
+_HEX_RM = "((c_custkey * 104729) % 4000000 - 2000000)"
+
+
+def q_hex_density(spark, sf_dir):
+    """H3-style HEXAGONAL cell density (the hex complement to the
+    square Morton index): exact integer cube rounding of milli-axial
+    coordinates (spatial/hex.py — largest-rounding-error component
+    recomputed from the other two, pinned tie rules), zero-shuffle
+    assignment + ONE map-side-combining groupBy."""
+    from geodiff_spark.spatial.hex import hexbin_counts
+
+    pts = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        F.expr(_HEX_QM).alias("qm"),
+        F.expr(_HEX_RM).alias("rm"),
+    )
+    return hexbin_counts(
+        pts, "qm", "rm",
+        extra_aggs=[F.sum("c_custkey").alias("key_sum")],
+    )
+
+
+def _hex_density_sql():
+    from geodiff_spark.spatial.hex import hex_round_sql
+
+    hq, hr = hex_round_sql(_HEX_QM, _HEX_RM, "duckdb")
+    return f"""
+SELECT {hq} AS hex_q, {hr} AS hex_r, COUNT(*) AS n,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+FROM customer GROUP BY 1, 2"""
+
+
 def q_lsh_recall(spark, sf_dir):
     """GRADED EVAL-HARNESS query: measure MinHash-LSH candidate recall
     against the exact n-gram-Jaccard ground truth on the same corpus —
@@ -5022,6 +5057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall": q_lsh_recall,
         "tpch_q18": q_tpch_q18,
         "decayed_counts": q_decayed_counts,
+        "hex_density": q_hex_density,
         "activity_streaks": q_activity_streaks,
         "pmi_pairs": q_pmi_pairs,
         "coverage_jaccard": q_coverage_jaccard,
@@ -5167,6 +5203,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_recall": _lsh_recall_sql(),
         "tpch_q18": _tpch_q18_sql(),
         "decayed_counts": _decayed_counts_sql(),
+        "hex_density": _hex_density_sql(),
         "activity_streaks": _activity_streaks_sql(),
         "pmi_pairs": _pmi_pairs_sql(),
         "coverage_jaccard": _coverage_jaccard_sql(),

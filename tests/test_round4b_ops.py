@@ -151,3 +151,54 @@ def test_polyline_keypoints_collinear_run_drops_middles(spark):
     got = [r["is_keypoint"] for r in polyline_keypoints(
         df, "k", "ts", "x", "y", "ts", tol=0).orderBy("ts").collect()]
     assert got == [True] + [False] * 8 + [True]
+
+
+# --------------------------------------------------------------------------
+# hex cube rounding: invariants + transcription parity
+# --------------------------------------------------------------------------
+
+def ref_hex_round(qm, rm):
+    """Straight integer transcription of spatial/hex.py's kernel."""
+    OFF = 2_000_000_000
+
+    def rnd(x):
+        return (x + 500 + OFF) // 1000 - OFF // 1000
+
+    sm = -qm - rm
+    rq, rr, rs = rnd(qm), rnd(rm), rnd(sm)
+    dq, dr, ds = abs(rq * 1000 - qm), abs(rr * 1000 - rm), abs(rs * 1000 - sm)
+    if rq + rr + rs != 0:
+        if dq >= dr and dq >= ds:
+            rq = -rr - rs
+        elif dr >= ds:
+            rr = -rq - rs
+    return rq, rr
+
+
+@settings(max_examples=500, deadline=None)
+@given(qm=st.integers(-2_000_000, 2_000_000),
+       rm=st.integers(-2_000_000, 2_000_000))
+def test_hex_round_invariants(qm, rm):
+    hq, hr = ref_hex_round(qm, rm)
+    # cube constraint holds by construction; exact lattice points fix
+    if qm % 1000 == 0 and rm % 1000 == 0:
+        assert (hq, hr) == (qm // 1000, rm // 1000)
+    # never farther than one cell on any cube axis from naive rounding
+    assert abs(hq * 1000 - qm) <= 1500 and abs(hr * 1000 - rm) <= 1500
+
+
+def test_hex_round_cols_matches_reference(spark):
+    import random
+
+    from geodiff_spark.spatial.hex import hex_round_cols
+
+    rng = random.Random(3)
+    rows = [(rng.randrange(-2_000_000, 2_000_000),
+             rng.randrange(-2_000_000, 2_000_000)) for _ in range(500)]
+    rows += [(q * 1000, r * 1000) for q in (-2, 0, 3) for r in (-1, 0, 2)]
+    rows += [(500, 500), (-500, -500), (1500, -500)]  # exact .5 ties
+    df = spark.createDataFrame(rows, "qm long, rm long")
+    hq, hr = hex_round_cols(F.col("qm"), F.col("rm"))
+    got = [(r["q"], r["r"]) for r in
+           df.select(hq.alias("q"), hr.alias("r")).collect()]
+    assert got == [ref_hex_round(q, r) for q, r in rows]
