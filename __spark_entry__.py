@@ -4600,6 +4600,27 @@ SELECT {hq} AS hex_q, {hr} AS hex_r, COUNT(*) AS n,
 FROM customer GROUP BY 1, 2"""
 
 
+def q_hex_focal(spark, sf_dir):
+    """Hex gridDisk neighborhood rollup (H3 focal stats): each occupied
+    hex scatters to its 6 disk neighbors — bounded literal fan-out, one
+    map-side-combining groupBy, zero-filled join back."""
+    from geodiff_spark.spatial.hex import hex_focal_counts
+
+    return hex_focal_counts(
+        q_hex_density(spark, sf_dir).select("hex_q", "hex_r", "n"),
+        "hex_q", "hex_r", "n", k=1,
+    )
+
+
+def _hex_focal_sql():
+    from geodiff_spark.spatial.hex import hex_focal_counts_sql, hex_round_sql
+
+    hq, hr = hex_round_sql(_HEX_QM, _HEX_RM, "duckdb")
+    cells = (f"SELECT {hq} AS hex_q, {hr} AS hex_r, COUNT(*) AS n "
+             "FROM customer GROUP BY 1, 2")
+    return hex_focal_counts_sql(cells, "hex_q", "hex_r", "n", k=1)
+
+
 def q_lsh_recall(spark, sf_dir):
     """GRADED EVAL-HARNESS query: measure MinHash-LSH candidate recall
     against the exact n-gram-Jaccard ground truth on the same corpus —
@@ -5058,6 +5079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "decayed_counts": q_decayed_counts,
         "hex_density": q_hex_density,
+        "hex_focal": q_hex_focal,
         "activity_streaks": q_activity_streaks,
         "pmi_pairs": q_pmi_pairs,
         "coverage_jaccard": q_coverage_jaccard,
@@ -5204,6 +5226,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q18": _tpch_q18_sql(),
         "decayed_counts": _decayed_counts_sql(),
         "hex_density": _hex_density_sql(),
+        "hex_focal": _hex_focal_sql(),
         "activity_streaks": _activity_streaks_sql(),
         "pmi_pairs": _pmi_pairs_sql(),
         "coverage_jaccard": _coverage_jaccard_sql(),

@@ -111,3 +111,75 @@ def hexbin_counts_sql(src_sql: str, qm: str, rm: str) -> str:
     SELECT {hq} AS hex_q, {hr} AS hex_r, COUNT(*) AS n
     FROM ({src_sql}) GROUP BY 1, 2
     """
+
+
+def hex_ring_offsets(k: int = 1) -> list[tuple[int, int]]:
+    """Axial offsets of the hex disk of radius ``k`` (excluding the
+    center): all (dq, dr) with max(|dq|, |dr|, |dq+dr|) <= k — the
+    gridDisk neighborhood (6 cells at k=1, 18 at k=2, 3k(k+1) total)."""
+    return [
+        (dq, dr)
+        for dq in range(-k, k + 1)
+        for dr in range(-k, k + 1)
+        if (dq, dr) != (0, 0) and max(abs(dq), abs(dr), abs(dq + dr)) <= k
+    ]
+
+
+def hex_focal_counts(
+    cells: DataFrame, q_col: str, r_col: str, n_col: str, *, k: int = 1
+) -> DataFrame:
+    """Per-hex neighborhood rollup (the hex twin of tiles.focal_stats /
+    H3 gridDisk aggregation): each occupied hex scatters its count to
+    its 3k(k+1) disk neighbors — bounded literal fan-out — and ONE
+    map-side-combining groupBy folds (neighbor count, neighbor sum)
+    per TARGET hex; a zero-filled left join back to the occupied set
+    keeps only real cells. -> (hex_q, hex_r, n, n_neigh, neigh_sum)."""
+    offs = hex_ring_offsets(k)
+    scattered = cells.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col(q_col) + F.lit(dq)).alias("tq"),
+                        (F.col(r_col) + F.lit(dr)).alias("tr"),
+                    )
+                    for dq, dr in offs
+                ]
+            )
+        ).alias("t"),
+        F.col(n_col).alias("_n"),
+    ).select(
+        F.col("t.tq").alias(q_col), F.col("t.tr").alias(r_col), "_n"
+    )
+    neigh = scattered.groupBy(q_col, r_col).agg(
+        F.count(F.lit(1)).alias("n_neigh"),
+        F.sum("_n").alias("neigh_sum"),
+    )
+    return cells.join(neigh, [q_col, r_col], "left").select(
+        q_col, r_col, n_col,
+        F.coalesce("n_neigh", F.lit(0)).alias("n_neigh"),
+        F.coalesce("neigh_sum", F.lit(0)).alias("neigh_sum"),
+    )
+
+
+def hex_focal_counts_sql(
+    cells_sql: str, q_col: str, r_col: str, n_col: str, *, k: int = 1
+) -> str:
+    """DuckDB twin of :func:`hex_focal_counts`."""
+    offs = ", ".join(f"({dq}, {dr})" for dq, dr in hex_ring_offsets(k))
+    return f"""
+    WITH cells AS ({cells_sql}),
+    offs(dq, dr) AS (VALUES {offs}),
+    neigh AS (
+      SELECT c.{q_col} + o.dq AS {q_col}, c.{r_col} + o.dr AS {r_col},
+             CAST(COUNT(*) AS BIGINT) AS n_neigh,
+             CAST(SUM(c.{n_col}) AS BIGINT) AS neigh_sum
+      FROM cells c CROSS JOIN offs o
+      GROUP BY 1, 2
+    )
+    SELECT c.{q_col}, c.{r_col}, c.{n_col},
+           COALESCE(n.n_neigh, 0) AS n_neigh,
+           COALESCE(n.neigh_sum, 0) AS neigh_sum
+    FROM cells c LEFT JOIN neigh n
+      ON c.{q_col} = n.{q_col} AND c.{r_col} = n.{r_col}
+    """
