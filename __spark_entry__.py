@@ -4223,8 +4223,10 @@ def q_phash_dups(spark, sf_dir):
     )
 
     media = _synth_png_media(spark, sf_dir)
+    # one decode pass: the banded self-join reads the hash frame twice
+    hashes = phash_images_q(media).localCheckpoint(eager=True)
     return banded_hamming_pairs(
-        phash_images_q(media), "asset_id", "phash", max_hamming=3, chunks=4
+        hashes, "asset_id", "phash", max_hamming=3, chunks=4
     )
 
 
@@ -4519,7 +4521,11 @@ def q_phash_clusters(spark, sf_dir):
     from geodiff_spark.operators.cluster import dedup_clusters
 
     media = _synth_png_media(spark, sf_dir)
-    hashes = phash_images_q(media)
+    # materialize the hashes once: the banded pair join reads them twice
+    # and every CC round re-reads the edges' lineage — without the cut,
+    # the PNG decode + DCT pipeline re-runs per round (same per-round
+    # lineage-truncation discipline as operators/graph.py's loops)
+    hashes = phash_images_q(media).localCheckpoint(eager=True)
     pairs = banded_hamming_pairs(
         hashes, "asset_id", "phash", max_hamming=3, chunks=4
     )
