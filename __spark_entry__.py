@@ -4571,6 +4571,53 @@ FROM comp"""
     )
 
 
+# snap inputs: customer pings + short supplier road edges on one
+# non-negative integer grid (pitch 50000 -> cell-local products stay
+# inside int64 with the 1024x distance scale)
+_SNAP_PX = "CAST((c_custkey * 7919) % 1000000 AS BIGINT)"
+_SNAP_PY = "CAST((c_custkey * 104729) % 1000000 AS BIGINT)"
+_SNAP_AX = "CAST((s_suppkey * 6037) % 1000000 AS BIGINT)"
+_SNAP_AY = "CAST((s_suppkey * 7561) % 1000000 AS BIGINT)"
+_SNAP_BX = f"({_SNAP_AX} + (s_suppkey % 200) + 17)"
+_SNAP_BY = f"({_SNAP_AY} + (s_suppkey % 140) + 11)"
+
+
+def q_segment_snap(spark, sf_dir):
+    """Map-matching primitive: snap each customer ping to the nearest
+    supplier road edge in its grid cell (spatial/snap.py). Candidates
+    from ONE cell equi-join; the refine is the cleared-denominator
+    scaled integer point-segment distance (endpoint clamps multiplied
+    through by L2); argmin per point via ONE struct-min groupBy with
+    the (d2q, sid) tie-break."""
+    from geodiff_spark.spatial.snap import snap_points
+
+    pts = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("pid"),
+        F.expr(_SNAP_PX).alias("x"),
+        F.expr(_SNAP_PY).alias("y"),
+    )
+    segs = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("sid"),
+        F.expr(_SNAP_AX).alias("ax"),
+        F.expr(_SNAP_AY).alias("ay"),
+        F.expr(_SNAP_BX).alias("bx"),
+        F.expr(_SNAP_BY).alias("by"),
+    )
+    return snap_points(pts, segs, cell=50000)
+
+
+def _segment_snap_sql():
+    from geodiff_spark.spatial.snap import snap_points_sql
+
+    return snap_points_sql(
+        f"SELECT c_custkey AS pid, {_SNAP_PX} AS x, {_SNAP_PY} AS y "
+        "FROM customer",
+        f"SELECT s_suppkey AS sid, {_SNAP_AX} AS ax, {_SNAP_AY} AS ay, "
+        f"{_SNAP_BX} AS bx, {_SNAP_BY} AS by FROM supplier",
+        cell=50000,
+    )
+
+
 # synthetic milli-axial hex coordinates per customer (the caller-side
 # quantization step; the graded kernel is the exact cube rounding)
 _HEX_QM = "((c_custkey * 7919) % 4000000 - 2000000)"
@@ -5086,6 +5133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_counts": q_decayed_counts,
         "hex_density": q_hex_density,
         "hex_focal": q_hex_focal,
+        "segment_snap": q_segment_snap,
         "activity_streaks": q_activity_streaks,
         "pmi_pairs": q_pmi_pairs,
         "coverage_jaccard": q_coverage_jaccard,
@@ -5233,6 +5281,7 @@ def oracle_sql() -> dict[str, str]:
         "decayed_counts": _decayed_counts_sql(),
         "hex_density": _hex_density_sql(),
         "hex_focal": _hex_focal_sql(),
+        "segment_snap": _segment_snap_sql(),
         "activity_streaks": _activity_streaks_sql(),
         "pmi_pairs": _pmi_pairs_sql(),
         "coverage_jaccard": _coverage_jaccard_sql(),

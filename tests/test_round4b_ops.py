@@ -202,3 +202,68 @@ def test_hex_round_cols_matches_reference(spark):
     got = [(r["q"], r["r"]) for r in
            df.select(hq.alias("q"), hr.alias("r")).collect()]
     assert got == [ref_hex_round(q, r) for q, r in rows]
+
+
+# --------------------------------------------------------------------------
+# point-to-segment snapping: naive exact-rational model
+# --------------------------------------------------------------------------
+
+def naive_snap(points, segments, cell):
+    """Exact-rational reference: same blocking, same scaled-floor
+    distance, same (d2q, sid) tie-break."""
+    from fractions import Fraction
+
+    out = {}
+    for pid, x, y in points:
+        cx, cy = x // cell, y // cell
+        best = None
+        for sid, ax, ay, bx, by in segments:
+            if (ax // cell, ay // cell) != (cx, cy):
+                continue
+            ox, oy = cx * cell, cy * cell
+            px, py = x - ox, y - oy
+            a = (ax - ox, ay - oy)
+            b = (bx - ox, by - oy)
+            abx, aby = b[0] - a[0], b[1] - a[1]
+            l2 = abx * abx + aby * aby
+            dot = (px - a[0]) * abx + (py - a[1]) * aby
+            pa2 = (px - a[0]) ** 2 + (py - a[1]) ** 2
+            pb2 = (px - b[0]) ** 2 + (py - b[1]) ** 2
+            if l2 == 0 or dot <= 0:
+                d2q = pa2 * 1024
+            elif dot >= l2:
+                d2q = pb2 * 1024
+            else:
+                d2q = int(Fraction((pa2 * l2 - dot * dot) * 1024, l2))
+            cand = (d2q, sid)
+            if best is None or cand < best:
+                best = cand
+        if best is not None:
+            out[pid] = best[1]
+    return out
+
+
+def test_segment_snap_matches_naive(spark):
+    import random
+
+    from geodiff_spark.spatial.snap import snap_points
+
+    rng = random.Random(21)
+    cell = 1000
+    points = [(i, rng.randrange(0, 5000), rng.randrange(0, 5000))
+              for i in range(300)]
+    segments = []
+    for i in range(80):
+        ax, ay = rng.randrange(0, 5000), rng.randrange(0, 5000)
+        segments.append((i, ax, ay, ax + rng.randrange(0, 120),
+                         ay + rng.randrange(0, 120)))
+    # degenerate (zero-length) segment + a point exactly on a segment
+    segments.append((900, 1500, 1500, 1500, 1500))
+    points.append((901, 1500, 1500))
+    pdf = spark.createDataFrame(points, "pid long, x long, y long")
+    sdf = spark.createDataFrame(
+        segments, "sid long, ax long, ay long, bx long, by long"
+    )
+    got = {r["pid"]: r["sid"]
+           for r in snap_points(pdf, sdf, cell=cell).collect()}
+    assert got == naive_snap(points, segments, cell)
