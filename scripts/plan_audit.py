@@ -58,6 +58,7 @@ ALLOW_BNLJ = {
     "range_assign",     # order-statistic boundary rows broadcast
     "rebase_final",     # bounded allocator state broadcast
     "rebase_conflicts",
+    "lsh_recall",       # crossJoin of three 1-row summary aggregates
 }
 
 
