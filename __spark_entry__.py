@@ -4571,6 +4571,98 @@ FROM comp"""
     )
 
 
+def q_streaming_sessionize(spark, sf_dir):
+    """GRADED STREAMING query #4 — the CUSTOM STATEFUL operator
+    (applyInPandasWithState): replay events through the per-user
+    GroupState sessionizer. Append mode emits a session only when it
+    CLOSES; a per-user sentinel event far beyond the gap rides in the
+    same batch, so every REAL session closes inline (the sentinel's own
+    session stays open and is never emitted). Timestamps are truncated
+    to whole seconds at the source because the state kernel keys gaps
+    on integer seconds — the oracle replays exactly that. Output drops
+    sum_value (a float accumulated in arrival order) and keeps the five
+    deterministic columns."""
+    import tempfile
+    import uuid
+
+    from geodiff_spark.streaming.sessionize import sessionize_stream
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "user_id",
+            F.date_trunc("second", F.col("ts").cast("timestamp")).alias("ts"),
+            "value",
+        )
+    )
+    sent = ev.groupBy("user_id").agg(
+        (F.max("ts") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+        F.lit(0.0).alias("value"),
+    ).select("user_id", "ts", "value")
+    src = tempfile.mkdtemp(prefix="stream_sess_src_")
+    ev.unionByName(sent).write.mode("overwrite").parquet(src)
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(src)
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # the sentinel's own session may ALSO surface when the engine runs
+    # a watermark-advance timeout batch — which sentinels time out
+    # depends on the global max timestamp, so drop every session that
+    # starts after its user's last REAL event (exactly the sentinel
+    # sessions, whether emitted or not; real sessions always start at
+    # or before the user's max event)
+    last_real = ev.groupBy("user_id").agg(F.max("ts").alias("_max_ts"))
+    return (
+        spark.table(name)
+        .join(F.broadcast(last_real), "user_id")
+        .filter(F.col("start") <= F.col("_max_ts"))
+        .select(
+            "user_id",
+            "session_id",
+            F.col("start").cast("timestamp_ntz").alias("start"),
+            F.col("end").cast("timestamp_ntz").alias("end"),
+            "n_events",
+        )
+    )
+
+
+_STREAM_SESS_SQL = """
+WITH e AS (
+  SELECT user_id, date_trunc('second', ts) AS ts FROM events
+),
+f AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              OR epoch_us(ts) // 1000000
+                 - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                   // 1000000 > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+i AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - 1 AS sid
+  FROM f
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       MIN(ts) AS start, MAX(ts) AS "end",
+       COUNT(*) AS n_events
+FROM i GROUP BY 1, 2"""
+
+
 # snap inputs: customer pings + short supplier road edges on one
 # non-negative integer grid (pitch 50000 -> cell-local products stay
 # inside int64 with the 1024x distance scale)
@@ -5134,6 +5226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_density": q_hex_density,
         "hex_focal": q_hex_focal,
         "segment_snap": q_segment_snap,
+        "streaming_sessionize": q_streaming_sessionize,
         "activity_streaks": q_activity_streaks,
         "pmi_pairs": q_pmi_pairs,
         "coverage_jaccard": q_coverage_jaccard,
@@ -5282,6 +5375,7 @@ def oracle_sql() -> dict[str, str]:
         "hex_density": _hex_density_sql(),
         "hex_focal": _hex_focal_sql(),
         "segment_snap": _segment_snap_sql(),
+        "streaming_sessionize": _STREAM_SESS_SQL,
         "activity_streaks": _activity_streaks_sql(),
         "pmi_pairs": _pmi_pairs_sql(),
         "coverage_jaccard": _coverage_jaccard_sql(),
