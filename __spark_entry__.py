@@ -4571,6 +4571,108 @@ FROM comp"""
     )
 
 
+def q_contour_cells(spark, sf_dir):
+    """Marching-squares cell classification (the contour-extraction
+    step of raster->vector): threshold the customer-count grid at T,
+    then each 2x2 block gets its 4-bit case index (bit k set iff corner
+    k >= T; corners: 0=(x,y) 1=(x+1,y) 2=(x,y+1) 3=(x+1,y+1); absent
+    cells count 0). Plan: every occupied cell SCATTERS to the <=4
+    blocks it corners (bounded literal fan-out, the focal/IDW shape) ->
+    ONE map-side-combining groupBy ORs the bits -> keep mixed blocks
+    (case not in {0, 15}) — the cells a contour line crosses."""
+    T = 2
+    cells = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(
+            F.expr("(c_custkey * 7919) % 16000 div 400").alias("gx"),
+            F.expr("(c_custkey * 104729) % 35000 div 700").alias("gy"),
+        )
+        .groupBy("gx", "gy")
+        .agg(F.count(F.lit(1)).alias("v"))
+        .filter(F.col("v") >= T)
+    )
+    corners = [(0, 0, 1), (-1, 0, 2), (0, -1, 4), (-1, -1, 8)]
+    scat = cells.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("gx") + F.lit(dx)).alias("bx"),
+                        (F.col("gy") + F.lit(dy)).alias("by"),
+                        F.lit(bit).alias("bit"),
+                    )
+                    for dx, dy, bit in corners
+                ]
+            )
+        ).alias("c")
+    ).select("c.bx", "c.by", "c.bit")
+    return (
+        scat.groupBy("bx", "by")
+        .agg(F.sum("bit").cast("int").alias("case_idx"))
+        .filter((F.col("case_idx") != 0) & (F.col("case_idx") != 15))
+    )
+
+
+def _contour_cells_sql():
+    return """
+WITH cells AS (
+  SELECT (c_custkey * 7919) % 16000 // 400 AS gx,
+         (c_custkey * 104729) % 35000 // 700 AS gy
+  FROM customer GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+corners(dx, dy, bit) AS (VALUES (0, 0, 1), (-1, 0, 2), (0, -1, 4), (-1, -1, 8)),
+blocks AS (
+  SELECT c.gx + k.dx AS bx, c.gy + k.dy AS by,
+         CAST(SUM(k.bit) AS INTEGER) AS case_idx
+  FROM cells c CROSS JOIN corners k
+  GROUP BY 1, 2
+)
+SELECT bx, by, case_idx FROM blocks WHERE case_idx NOT IN (0, 15)"""
+
+
+def q_hot_keys(spark, sf_dir):
+    """Skew observability: the hot-key diagnostic every salting decision
+    starts from — top-20 keys by row count on the Zipf-skewed events
+    keying (same recurrence as skew_zipf), with each key's exact share
+    in parts-per-million of the total. ONE groupBy + ONE
+    WindowGroupLimit top-k + a 1-row total broadcast; integer-exact."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.expr(_HOT_KEY_SQL).cast("long").alias("hot_key")
+    )
+    counts = ev.groupBy("hot_key").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("_tot"))
+    w = Window.orderBy(F.col("n").desc(), "hot_key")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank", "hot_key", "n",
+            F.expr("n * 1000000 div _tot").alias("share_ppm"),
+        )
+    )
+
+
+def _hot_keys_sql():
+    return f"""
+WITH counts AS (
+  SELECT CAST({_HOT_KEY_SQL} AS BIGINT) AS hot_key, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+ranked AS (
+  SELECT hot_key, n,
+         CAST(row_number() OVER (ORDER BY n DESC, hot_key) AS INTEGER)
+           AS rank
+  FROM counts
+)
+SELECT rank, hot_key, n,
+       CAST(n * 1000000 // (SELECT CAST(SUM(n) AS BIGINT) FROM counts)
+            AS BIGINT) AS share_ppm
+FROM ranked WHERE rank <= 20"""
+
+
 def q_streaming_sessionize(spark, sf_dir):
     """GRADED STREAMING query #4 — the CUSTOM STATEFUL operator
     (applyInPandasWithState): replay events through the per-user
@@ -5227,6 +5329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_focal": q_hex_focal,
         "segment_snap": q_segment_snap,
         "streaming_sessionize": q_streaming_sessionize,
+        "contour_cells": q_contour_cells,
+        "hot_keys": q_hot_keys,
         "activity_streaks": q_activity_streaks,
         "pmi_pairs": q_pmi_pairs,
         "coverage_jaccard": q_coverage_jaccard,
@@ -5376,6 +5480,8 @@ def oracle_sql() -> dict[str, str]:
         "hex_focal": _hex_focal_sql(),
         "segment_snap": _segment_snap_sql(),
         "streaming_sessionize": _STREAM_SESS_SQL,
+        "contour_cells": _contour_cells_sql(),
+        "hot_keys": _hot_keys_sql(),
         "activity_streaks": _activity_streaks_sql(),
         "pmi_pairs": _pmi_pairs_sql(),
         "coverage_jaccard": _coverage_jaccard_sql(),

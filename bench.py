@@ -391,7 +391,8 @@ def run_suite() -> None:
         "tpch_q3", "tpch_q5", "cusum_alerts", "idw_fill",
         "polyline_keypoints", "streaming_dedup", "lsh_recall",
         "tpch_q18", "decayed_counts", "hex_density", "hex_focal",
-        "segment_snap", "streaming_sessionize",
+        "segment_snap", "streaming_sessionize", "contour_cells",
+        "hot_keys",
     ]
     qs = E.queries()
     # warmup at the smallest sf: codegen/JIT caches, python worker pool,
