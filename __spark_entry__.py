@@ -4146,22 +4146,25 @@ def _assoc_rules_sql():
 # ---------------------------------------------------------------------------
 
 # deterministic generator shared by Spark and SQL: two rounds of the
-# classic glibc LCG (a=1103515245, c=12345, m=2^31) — every product fits
-# int64, so numpy and DuckDB agree exactly.
+# classic glibc LCG (a=1103515245, c=12345, m=2^31). The seed is reduced
+# mod 2^31 BEFORE the first multiply (congruent, so values are
+# unchanged) so A*x stays < 2^61 for any doc_id — without the reduction,
+# doc_id ≳ 5e7 overflows int64: numpy would wrap silently while DuckDB
+# BIGINT raises, diverging the phash/audio oracles at large sf.
 _LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 1 << 31
 
 
 def _lcg2_np(x):
     import numpy as np  # noqa: F401 — numpy int64 arithmetic is exact here
 
-    x = (_LCG_A * x + _LCG_C) % _LCG_M
+    x = (_LCG_A * (x % _LCG_M) + _LCG_C) % _LCG_M
     return (_LCG_A * x + _LCG_C) % _LCG_M
 
 
 def _lcg2_sql(e: str) -> str:
     return (
-        f"((1103515245*((1103515245*({e}) + 12345) % 2147483648)"
-        " + 12345) % 2147483648)"
+        f"((1103515245*((1103515245*(({e}) % 2147483648) + 12345)"
+        " % 2147483648) + 12345) % 2147483648)"
     )
 
 
@@ -4961,9 +4964,13 @@ def q_decayed_counts(spark, sf_dir):
     """Exponentially-decayed event counters (the half-life score behind
     trending/ranking features), integer-exact: per-(key, hour-bucket)
     counts contribute n << (H - age) with age = key's max bucket - b,
-    buckets older than H = 40 dropped. One groupBy + one bounded window
+    buckets older than H = 30 dropped. One groupBy + one bounded window
     max + one final fold; every bit reproducible cross-engine (decay
-    factor 2 keeps the weights integral)."""
+    factor 2 keeps the weights integral). Overflow bound: the per-key
+    sum stays under 2^63 while the hour-bucket row count stays below
+    2^32 ≈ 4.3e9 rows/bucket (weights ≤ 2^30) — Spark would wrap
+    silently past that while DuckDB errors, so H is sized for ~1000x
+    the largest graded sf."""
     from geodiff_spark.operators.temporal import _micros
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -4979,13 +4986,13 @@ def q_decayed_counts(spark, sf_dir):
 
     w = Window.partitionBy("event_type")
     aged = counts.withColumn("maxb", F.max("bkt").over(w)).filter(
-        F.col("maxb") - F.col("bkt") <= 40
+        F.col("maxb") - F.col("bkt") <= 30
     )
     return aged.groupBy("event_type").agg(
         F.sum(
             F.expr(
                 "n * shiftleft(cast(1 as bigint),"
-                " cast(40 - (maxb - bkt) as int))"
+                " cast(30 - (maxb - bkt) as int))"
             )
         ).alias("decayed_score"),
         F.count(F.lit(1)).alias("n_buckets"),
@@ -5005,10 +5012,10 @@ aged AS (
   FROM counts
 )
 SELECT event_type,
-       CAST(SUM(n * (CAST(1 AS BIGINT) << CAST(40 - (maxb - bkt) AS INTEGER)))
+       CAST(SUM(n * (CAST(1 AS BIGINT) << CAST(30 - (maxb - bkt) AS INTEGER)))
             AS BIGINT) AS decayed_score,
        COUNT(*) AS n_buckets
-FROM aged WHERE maxb - bkt <= 40
+FROM aged WHERE maxb - bkt <= 30
 GROUP BY event_type"""
 
 
@@ -5254,64 +5261,12 @@ GROUP BY n_name"""
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS THE GRADING WINDOW: the driver grades exactly the first
-    # 50 entries. Round 4 leads with the 8 queries evicted from the
-    # r03 window (hll_counts first - the only query ever red needs its
-    # green hard-signal row), then the 3 new round-4 queries, then 39
-    # never-graded entries; positions 51-76 are the remaining
-    # never-graded queries (they lead the round-5 window), and the
-    # tail is everything already green in a prior CORRECTNESS_r{N}
-    # artifact. See GRADING_LEDGER.md.
+    # 50 entries. Round 5 leads with every query that has never had a
+    # hard driver-graded row (see GRADING_LEDGER.md), then the window
+    # slack re-grades the oldest-green load-bearing queries (standing
+    # policy: oldest first-green round first), then everything already
+    # green in a prior CORRECTNESS_r{N} artifact, oldest-green first.
     return {
-        "hll_counts": q_hll_counts,
-        "top_terms": q_top_terms,
-        "token_quantiles": q_token_quantiles,
-        "sessionize": q_sessionize,
-        "asof_clicks": q_asof_clicks,
-        "tile_pyramid": q_tile_pyramid,
-        "hll_users": q_hll_users,
-        "scd2_history": q_scd2_history,
-        "phash_dups": q_phash_dups,
-        "audio_dups": q_audio_dups,
-        "skew_zipf": q_skew_zipf,
-        "streaming_hll": q_streaming_hll,
-        "countmin_terms": q_countmin_terms,
-        "interval_join": q_interval_join,
-        "incremental_dedup": q_incremental_dedup,
-        "edit_dedup": q_edit_dedup,
-        "record_linkage": q_record_linkage,
-        "bpe_merges": q_bpe_merges,
-        "bpe_encode": q_bpe_encode,
-        "pq_codes": q_pq_codes,
-        "dsir_weights": q_dsir_weights,
-        "triangle_counts": q_triangle_counts,
-        "k_core": q_k_core,
-        "hop_distances": q_hop_distances,
-        "funnel_steps": q_funnel_steps,
-        "dbscan_clusters": q_dbscan_clusters,
-        "zorder_keys": q_zorder_keys,
-        "zorder_prune": q_zorder_prune,
-        "recluster_plan": q_recluster_plan,
-        "compaction_plan": q_compaction_plan,
-        "resumable_ranges": q_resumable_ranges,
-        "history_slice": q_history_slice,
-        "radius_join": q_radius_join,
-        "segment_join": q_segment_join,
-        "histo_tokens": q_histo_tokens,
-        "rect_overlap": q_rect_overlap,
-        "join_size_est": q_join_size_est,
-        "geohash_assign": q_geohash_assign,
-        "pyramid_delta": q_pyramid_delta,
-        "anchor_texts": q_anchor_texts,
-        "cohort_retention": q_cohort_retention,
-        "boilerplate_chunks": q_boilerplate_chunks,
-        "quality_gate": q_quality_gate,
-        "zonal_stats": q_zonal_stats,
-        "cell_compact": q_cell_compact,
-        "compact_roundtrip": q_compact_roundtrip,
-        "focal_mean": q_focal_mean,
-        "phrase_search": q_phrase_search,
-        "rolling_active": q_rolling_active,
-        "trimmed_stats": q_trimmed_stats,
         "ohlc_bars": q_ohlc_bars,
         "cumulative_users": q_cumulative_users,
         "rate_anomaly": q_rate_anomaly,
@@ -5358,11 +5313,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyline_perimeter": q_polyline_perimeter,
         "assoc_rules": q_assoc_rules,
         "diff_changeset": q_diff_changeset,
-        "diff_summary": q_diff_summary,
         "apply_roundtrip": q_apply_roundtrip,
-        "invert_roundtrip": q_invert_roundtrip,
-        "concat_apply": q_concat_apply,
         "rebase_final": q_rebase_final,
+        "concat_apply": q_concat_apply,
+        "diff_summary": q_diff_summary,
+        "invert_roundtrip": q_invert_roundtrip,
         "rebase_conflicts": q_rebase_conflicts,
         "cell_assign": q_cell_assign,
         "cell_rollup": q_cell_rollup,
@@ -5372,27 +5327,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_features": q_text_features,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
-        "minhash_lsh": q_minhash_lsh,
-        "domain_minhash": q_domain_minhash,
-        "bigram_logprob": q_bigram_logprob,
-        "fluency_buckets": q_fluency_buckets,
-        "warc_roundtrip": q_warc_roundtrip,
-        "wet_extract": q_wet_extract,
-        "kmeans_embed": q_kmeans_embed,
-        "ann_ivf_trained": q_ann_ivf_trained,
-        "simhash": q_simhash,
         "ann_bruteforce": q_ann_bruteforce,
-        "ann_ivf": q_ann_ivf,
         "cosine_dups": q_cosine_dups,
-        "cosine_dups_lsh": q_cosine_dups_lsh,
         "events_hourly": q_events_hourly,
-        "streaming_hourly": q_streaming_hourly,
         "lineitem_pricing": q_lineitem_pricing,
         "dump": q_dump_orders,
         "kring": q_kring,
         "text_extract": q_text_extract,
         "quality_filter": q_quality_filter,
         "salted_cell_counts": q_salted_cell_counts,
+        "minhash_lsh": q_minhash_lsh,
+        "top_terms": q_top_terms,
+        "token_quantiles": q_token_quantiles,
+        "sessionize": q_sessionize,
+        "asof_clicks": q_asof_clicks,
+        "tile_pyramid": q_tile_pyramid,
+        "hll_users": q_hll_users,
+        "scd2_history": q_scd2_history,
+        "simhash": q_simhash,
+        "ann_ivf": q_ann_ivf,
+        "cosine_dups_lsh": q_cosine_dups_lsh,
         "repetition_signals": q_repetition_signals,
         "url_canonical": q_url_canonical,
         "domain_cap": q_domain_cap,
@@ -5407,62 +5361,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_rank": q_link_rank,
         "inverted_index": q_inverted_index,
         "bm25_search": q_bm25_search,
+        "domain_minhash": q_domain_minhash,
+        "bigram_logprob": q_bigram_logprob,
+        "fluency_buckets": q_fluency_buckets,
+        "warc_roundtrip": q_warc_roundtrip,
+        "wet_extract": q_wet_extract,
+        "kmeans_embed": q_kmeans_embed,
+        "ann_ivf_trained": q_ann_ivf_trained,
+        "streaming_hourly": q_streaming_hourly,
+        "hll_counts": q_hll_counts,
+        "phash_dups": q_phash_dups,
+        "audio_dups": q_audio_dups,
+        "skew_zipf": q_skew_zipf,
+        "streaming_hll": q_streaming_hll,
+        "countmin_terms": q_countmin_terms,
+        "interval_join": q_interval_join,
+        "incremental_dedup": q_incremental_dedup,
+        "edit_dedup": q_edit_dedup,
+        "record_linkage": q_record_linkage,
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
+        "pq_codes": q_pq_codes,
+        "dsir_weights": q_dsir_weights,
+        "triangle_counts": q_triangle_counts,
+        "k_core": q_k_core,
+        "hop_distances": q_hop_distances,
+        "funnel_steps": q_funnel_steps,
+        "dbscan_clusters": q_dbscan_clusters,
+        "zorder_keys": q_zorder_keys,
+        "zorder_prune": q_zorder_prune,
+        "recluster_plan": q_recluster_plan,
+        "compaction_plan": q_compaction_plan,
+        "resumable_ranges": q_resumable_ranges,
+        "history_slice": q_history_slice,
+        "radius_join": q_radius_join,
+        "segment_join": q_segment_join,
+        "histo_tokens": q_histo_tokens,
+        "rect_overlap": q_rect_overlap,
+        "join_size_est": q_join_size_est,
+        "geohash_assign": q_geohash_assign,
+        "pyramid_delta": q_pyramid_delta,
+        "anchor_texts": q_anchor_texts,
+        "cohort_retention": q_cohort_retention,
+        "boilerplate_chunks": q_boilerplate_chunks,
+        "quality_gate": q_quality_gate,
+        "zonal_stats": q_zonal_stats,
+        "cell_compact": q_cell_compact,
+        "compact_roundtrip": q_compact_roundtrip,
+        "focal_mean": q_focal_mean,
+        "phrase_search": q_phrase_search,
+        "rolling_active": q_rolling_active,
+        "trimmed_stats": q_trimmed_stats,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    # same order as queries() - see the grading-window note there.
+    # same order as queries() — see the grading-window note there.
     return {
-        "hll_counts": _hll_counts_sql(),
-        "top_terms": _top_terms_sql(),
-        "token_quantiles": _token_quantiles_sql(),
-        "sessionize": _sessionize_sql(),
-        "asof_clicks": _ASOF_SQL,
-        "tile_pyramid": _tile_pyramid_sql(),
-        "hll_users": _hll_users_sql(),
-        "scd2_history": _scd2_history_sql(),
-        "phash_dups": _phash_dups_sql(),
-        "audio_dups": _audio_dups_sql(),
-        "skew_zipf": _skew_zipf_sql(),
-        "streaming_hll": _streaming_hll_sql(),
-        "countmin_terms": _countmin_terms_sql(),
-        "interval_join": _interval_join_sql(),
-        "incremental_dedup": _incremental_dedup_sql(),
-        "edit_dedup": _edit_dedup_sql(),
-        "record_linkage": _record_linkage_sql(),
-        "bpe_merges": _bpe_merges_sql(),
-        "bpe_encode": _bpe_encode_sql(),
-        "pq_codes": _pq_codes_sql(),
-        "dsir_weights": _dsir_weights_sql(),
-        "triangle_counts": _triangle_counts_sql(),
-        "k_core": _k_core_sql(),
-        "hop_distances": _hop_distances_sql(),
-        "funnel_steps": _funnel_steps_sql(),
-        "dbscan_clusters": _dbscan_clusters_sql(),
-        "zorder_keys": _zorder_keys_sql(),
-        "zorder_prune": _zorder_prune_sql(),
-        "recluster_plan": _recluster_plan_sql(),
-        "compaction_plan": _compaction_plan_sql(),
-        "resumable_ranges": _resumable_ranges_sql(),
-        "history_slice": _history_slice_sql(),
-        "radius_join": _radius_join_sql(),
-        "segment_join": _segment_join_sql(),
-        "histo_tokens": _histo_tokens_sql(),
-        "rect_overlap": _rect_overlap_sql(),
-        "join_size_est": _join_size_est_sql(),
-        "geohash_assign": _geohash_assign_sql(),
-        "pyramid_delta": _pyramid_delta_sql(),
-        "anchor_texts": _anchor_texts_sql(),
-        "cohort_retention": _cohort_retention_sql(),
-        "boilerplate_chunks": _boilerplate_chunks_sql(),
-        "quality_gate": _quality_gate_sql(),
-        "zonal_stats": _zonal_stats_sql(),
-        "cell_compact": _cell_compact_sql(),
-        "compact_roundtrip": _tile_cover_sql(),
-        "focal_mean": _focal_mean_sql(),
-        "phrase_search": _phrase_search_sql(),
-        "rolling_active": _rolling_active_sql(),
-        "trimmed_stats": _trimmed_stats_sql(),
         "ohlc_bars": _ohlc_bars_sql(),
         "cumulative_users": _cumulative_users_sql(),
         "rate_anomaly": _rate_anomaly_sql(),
@@ -5509,11 +5464,11 @@ def oracle_sql() -> dict[str, str]:
         "polyline_perimeter": _polyline_perimeter_sql(),
         "assoc_rules": _assoc_rules_sql(),
         "diff_changeset": _DIFF_SQL,
-        "diff_summary": _DIFF_SUMMARY_SQL,
         "apply_roundtrip": _MOD_SQL,
-        "invert_roundtrip": _BASE_SQL,
-        "concat_apply": _C_SQL,
         "rebase_final": _REBASE_FINAL_SQL,
+        "concat_apply": _C_SQL,
+        "diff_summary": _DIFF_SUMMARY_SQL,
+        "invert_roundtrip": _BASE_SQL,
         "rebase_conflicts": _REBASE_CONFLICTS_SQL,
         "cell_assign": _cell_assign_sql(),
         "cell_rollup": _cell_rollup_sql(),
@@ -5523,27 +5478,26 @@ def oracle_sql() -> dict[str, str]:
         "text_features": _text_features_sql(),
         "dedup_exact": _dedup_exact_sql(),
         "ngram_jaccard": _ngram_jaccard_oracle(),
-        "minhash_lsh": _minhash_lsh_oracle(),
-        "domain_minhash": _domain_minhash_oracle(),
-        "bigram_logprob": _bigram_logprob_oracle(),
-        "fluency_buckets": _fluency_buckets_oracle(),
-        "warc_roundtrip": _WARC_ORACLE,
-        "wet_extract": _WET_ORACLE,
-        "kmeans_embed": _kmeans_oracle(),
-        "ann_ivf_trained": _ann_ivf_trained_sql(),
-        "simhash": _simhash_oracle(),
         "ann_bruteforce": _ann_sql(),
-        "ann_ivf": _ann_ivf_sql(),
         "cosine_dups": _cosine_dups_sql(),
-        "cosine_dups_lsh": _cosine_dups_lsh_oracle(),
         "events_hourly": _EVENTS_SQL,
-        "streaming_hourly": _EVENTS_SQL,
         "lineitem_pricing": _LINEITEM_SQL,
         "dump": _DUMP_SQL,
         "kring": _kring_sql(),
         "text_extract": _TEXT_EXTRACT_SQL,
         "quality_filter": _quality_filter_sql(),
         "salted_cell_counts": _cell_assign_sql(),
+        "minhash_lsh": _minhash_lsh_oracle(),
+        "top_terms": _top_terms_sql(),
+        "token_quantiles": _token_quantiles_sql(),
+        "sessionize": _sessionize_sql(),
+        "asof_clicks": _ASOF_SQL,
+        "tile_pyramid": _tile_pyramid_sql(),
+        "hll_users": _hll_users_sql(),
+        "scd2_history": _scd2_history_sql(),
+        "simhash": _simhash_oracle(),
+        "ann_ivf": _ann_ivf_sql(),
+        "cosine_dups_lsh": _cosine_dups_lsh_oracle(),
         "repetition_signals": _repetition_signals_sql(),
         "url_canonical": _url_canonical_sql(),
         "domain_cap": _domain_cap_sql(),
@@ -5558,4 +5512,55 @@ def oracle_sql() -> dict[str, str]:
         "link_rank": _link_rank_sql(),
         "inverted_index": _inverted_index_sql(),
         "bm25_search": _bm25_sql(),
+        "domain_minhash": _domain_minhash_oracle(),
+        "bigram_logprob": _bigram_logprob_oracle(),
+        "fluency_buckets": _fluency_buckets_oracle(),
+        "warc_roundtrip": _WARC_ORACLE,
+        "wet_extract": _WET_ORACLE,
+        "kmeans_embed": _kmeans_oracle(),
+        "ann_ivf_trained": _ann_ivf_trained_sql(),
+        "streaming_hourly": _EVENTS_SQL,
+        "hll_counts": _hll_counts_sql(),
+        "phash_dups": _phash_dups_sql(),
+        "audio_dups": _audio_dups_sql(),
+        "skew_zipf": _skew_zipf_sql(),
+        "streaming_hll": _streaming_hll_sql(),
+        "countmin_terms": _countmin_terms_sql(),
+        "interval_join": _interval_join_sql(),
+        "incremental_dedup": _incremental_dedup_sql(),
+        "edit_dedup": _edit_dedup_sql(),
+        "record_linkage": _record_linkage_sql(),
+        "bpe_merges": _bpe_merges_sql(),
+        "bpe_encode": _bpe_encode_sql(),
+        "pq_codes": _pq_codes_sql(),
+        "dsir_weights": _dsir_weights_sql(),
+        "triangle_counts": _triangle_counts_sql(),
+        "k_core": _k_core_sql(),
+        "hop_distances": _hop_distances_sql(),
+        "funnel_steps": _funnel_steps_sql(),
+        "dbscan_clusters": _dbscan_clusters_sql(),
+        "zorder_keys": _zorder_keys_sql(),
+        "zorder_prune": _zorder_prune_sql(),
+        "recluster_plan": _recluster_plan_sql(),
+        "compaction_plan": _compaction_plan_sql(),
+        "resumable_ranges": _resumable_ranges_sql(),
+        "history_slice": _history_slice_sql(),
+        "radius_join": _radius_join_sql(),
+        "segment_join": _segment_join_sql(),
+        "histo_tokens": _histo_tokens_sql(),
+        "rect_overlap": _rect_overlap_sql(),
+        "join_size_est": _join_size_est_sql(),
+        "geohash_assign": _geohash_assign_sql(),
+        "pyramid_delta": _pyramid_delta_sql(),
+        "anchor_texts": _anchor_texts_sql(),
+        "cohort_retention": _cohort_retention_sql(),
+        "boilerplate_chunks": _boilerplate_chunks_sql(),
+        "quality_gate": _quality_gate_sql(),
+        "zonal_stats": _zonal_stats_sql(),
+        "cell_compact": _cell_compact_sql(),
+        "compact_roundtrip": _tile_cover_sql(),
+        "focal_mean": _focal_mean_sql(),
+        "phrase_search": _phrase_search_sql(),
+        "rolling_active": _rolling_active_sql(),
+        "trimmed_stats": _trimmed_stats_sql(),
     }

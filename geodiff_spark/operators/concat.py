@@ -150,9 +150,14 @@ def merge_pair(
         d2o = bit_defined(F.col("e2_old_bits"), i)
         d2n = bit_defined(F.col("e2_new_bits"), i)
 
-        # merged-UPDATE shape (U+U and D+I share it)
-        mu_old_def = F.lit(pk) | differ[c]
-        mu_new_def = F.lit(not pk) & differ[c]
+        # merged-UPDATE shape (U+U and D+I share it). The branch picks
+        # WHICH value to write, but mergeUpdate writes vOld/vNew that
+        # can themselves be TypeUndefined (changesetconcat.cpp:95-114
+        # pushes vOld verbatim) — so definedness also requires the
+        # merged value to be defined, else a chained merge would turn
+        # Undefined into defined-NULL (caught by the property sweep).
+        mu_old_def = (F.lit(pk) | differ[c]) & v_old_def[c]
+        mu_new_def = F.lit(not pk) & differ[c] & v_new_def[c]
 
         # I+U: INSERT patched — new = e2.new if defined else e1.new
         iu_new = F.when(d2n, F.col(f"e2_new_{c}")).otherwise(F.col(f"e1_new_{c}"))
@@ -172,18 +177,21 @@ def merge_pair(
             .when(is_uu | is_di, F.when(mu_new_def, v_new[c]))
             .when(is_iu, iu_new)
         )
+        # U+D backfill / I+U patch keep Undefined when BOTH sides are
+        # undefined (the reference copies values verbatim; it never
+        # conjures a defined NULL out of two Undefineds)
         o_def = (
             F.when(only1, d1o)
             .when(only2, d2o)
             .when(is_uu | is_di, mu_old_def)
-            .when(is_ud, F.lit(True))
+            .when(is_ud, d1o | d2o)
             .otherwise(F.lit(False))
         )
         n_def = (
             F.when(only1, d1n)
             .when(only2, d2n)
             .when(is_uu | is_di, mu_new_def)
-            .when(is_iu, F.lit(True))
+            .when(is_iu, d1n | d2n)
             .otherwise(F.lit(False))
         )
         old_cols.append(o.alias(f"old_{c}"))

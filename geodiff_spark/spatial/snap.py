@@ -67,7 +67,29 @@ def snap_points(
     the nearest same-cell segment: (pid, x, y, sid, d2q). Integer
     coords; ``cell`` is the blocking grid pitch (points and both
     segment endpoints must be non-negative ints so cell = v DIV pitch
-    matches DuckDB's //)."""
+    matches DuckDB's //).
+
+    Overflow contract (enforced): the refine step's largest product is
+    pa2 * L2 * SNAP_SCALE (dot^2 <= pa2*L2 by Cauchy-Schwarz), with
+    pa2 < 2*cell^2 because the point and the segment's first endpoint
+    share a cell. The 'short segments' precondition is therefore the
+    concrete bound  2*cell^2 * max(L2) * SNAP_SCALE < 2^63 , i.e.
+    cell * max_extent < ~4.7e7 grid units. One cheap agg over the
+    (small) segments side checks it at call time and raises instead of
+    silently wrapping int64 — split long edges upstream if it fires."""
+    _MAX = (1 << 63) - 1
+    max_l2 = segments.select(
+        F.max(
+            F.expr("(bx-ax)*(bx-ax) + (by-ay)*(by-ay)")
+        ).alias("l2")
+    ).first()["l2"]
+    if max_l2 is not None and 2 * int(cell) ** 2 * int(max_l2) * SNAP_SCALE > _MAX:
+        raise ValueError(
+            f"snap_points overflow bound violated: 2*cell^2*max(L2)*"
+            f"{SNAP_SCALE} = {2 * int(cell) ** 2 * int(max_l2) * SNAP_SCALE}"
+            f" > 2^63-1 (cell={cell}, max segment L2={max_l2}); split long"
+            " segments or shrink the cell pitch"
+        )
     p = points.select(
         F.col(point_id), "x", "y",
         F.expr(f"x div {int(cell)}").alias("_cx"),

@@ -2,9 +2,14 @@
 """Round-5 registry rotation (CHANGELOG_r04.md handoff step 1),
 mechanized: reorder `queries()` / `oracle_sql()` in __spark_entry__.py
 so the entries never hard-graded by a driver artifact (everything the
-ledger marks "r05 (scheduled)") occupy positions 1-N, any NEW round-5
-entries follow, and already-graded queries fill the tail. Dry-run by
-default; --write applies the edit in place.
+ledger marks "r05 (scheduled)") occupy positions 1-N, then — standing
+re-grade policy — the window's slack slots are filled oldest-green-
+first (earliest first-green round wins; the load-bearing changeset
+core breaks ties) so long-unattested queries are periodically
+re-attested. Already-graded queries fill the tail in the same
+oldest-first order. Dry-run by default; --write applies the edit in
+place and then re-parses the rewritten file, asserting the query /
+oracle key sets are exactly preserved (fails loudly on any drop).
 
 Usage:
   python scripts/rotate_registry.py            # show the planned order
@@ -25,46 +30,75 @@ ENTRY = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 HDR = """    # ORDER IS THE GRADING WINDOW: the driver grades exactly the first
     # 50 entries. Round 5 leads with every query that has never had a
-    # hard driver-graded row (see GRADING_LEDGER.md), then new round-5
-    # entries, then everything already green in a prior
-    # CORRECTNESS_r{N} artifact. Never insert ahead of a red query.
+    # hard driver-graded row (see GRADING_LEDGER.md), then the window
+    # slack re-grades the oldest-green load-bearing queries (standing
+    # policy: oldest first-green round first), then everything already
+    # green in a prior CORRECTNESS_r{N} artifact, oldest-green first.
 """
 
+# Tie-break within the oldest green round: the changeset core carries
+# the most downstream weight, so it re-attests first (VERDICT r04 #2).
+LOAD_BEARING = [
+    "diff_changeset", "apply_roundtrip", "rebase_final", "concat_apply",
+    "minhash_lsh",
+]
 
-def graded_keys() -> set[str]:
-    keys: set[str] = set()
+
+def first_green_round() -> dict[str, int]:
+    """Map query -> earliest round whose driver artifact has it green."""
+    first: dict[str, int] = {}
     base = os.path.dirname(ENTRY)
     for n in range(1, 10):
         p = os.path.join(base, f"CORRECTNESS_r0{n}.json")
-        if os.path.exists(p):
-            with open(p) as f:
-                art = json.load(f)
-            keys |= {k for k, v in art.items()
-                     if isinstance(v, dict) and not v.get("err")
-                     and v.get("rows_match") and v.get("hash_match", True)}
-    return keys
+        if not os.path.exists(p):
+            continue
+        with open(p) as f:
+            art = json.load(f)
+        for k, v in art.items():
+            if (isinstance(v, dict) and not v.get("err")
+                    and v.get("rows_match") and v.get("hash_match", True)):
+                first.setdefault(k, n)
+    return first
+
+
+def extract(src: str, fn: str):
+    m = re.search(
+        rf"def {fn}\(\)[^\n]*\n(?:    #[^\n]*\n)*    return \{{\n(.*?)\n    \}}",
+        src, re.S,
+    )
+    ents = dict(re.findall(r'"([a-z0-9_]+)": ([^\n]+?),\n', m.group(1) + "\n"))
+    # Guard against the single-line-regex failure mode: every line in
+    # the body must be a matched entry, or we refuse to proceed (a
+    # multi-line or comment-interleaved entry would otherwise be
+    # silently dropped by the rewrite).
+    body_lines = [ln for ln in m.group(1).split("\n") if ln.strip()]
+    if len(body_lines) != len(ents):
+        raise SystemExit(
+            f"{fn}(): {len(body_lines)} body lines but only {len(ents)} "
+            "single-line entries parsed — a multi-line/comment entry would "
+            "be dropped; normalize the registry body before rotating."
+        )
+    return m, ents
 
 
 def main() -> None:
     src = open(ENTRY).read()
-
-    def extract(fn: str):
-        m = re.search(
-            rf"def {fn}\(\)[^\n]*\n(?:    #[^\n]*\n)*    return \{{\n(.*?)\n    \}}",
-            src, re.S,
-        )
-        ents = dict(re.findall(r'"([a-z0-9_]+)": ([^\n]+?),\n', m.group(1) + "\n"))
-        return m, ents
-
-    qm, qents = extract("queries")
-    om, oents = extract("oracle_sql")
-    done = graded_keys()
-    order = [k for k in qents if k not in done] + [k for k in qents if k in done]
-    never = sum(1 for k in qents if k not in done)
-    print(f"{len(order)} queries; {never} never-hard-graded lead the window; "
-          f"window slack after them: {max(0, 50 - never)}")
+    qm, qents = extract(src, "queries")
+    om, oents = extract(src, "oracle_sql")
+    first = first_green_round()
+    rank = {k: i for i, k in enumerate(LOAD_BEARING)}
+    never = [k for k in qents if k not in first]
+    graded = sorted(
+        (k for k in qents if k in first),
+        key=lambda k: (first[k], rank.get(k, len(LOAD_BEARING)),
+                       list(qents).index(k)),
+    )
+    order = never + graded
+    print(f"{len(order)} queries; {len(never)} never-hard-graded lead the "
+          f"window; window slack after them: {max(0, 50 - len(never))}")
     for i, k in enumerate(order[:50], 1):
-        print(f"  {i:2d}. {k}" + ("" if k not in done else "  (re-grade)"))
+        tag = "" if k not in first else f"  (re-grade; first green r0{first[k]})"
+        print(f"  {i:2d}. {k}{tag}")
     if "--write" not in sys.argv:
         print("(dry run — pass --write to apply)")
         return
@@ -85,8 +119,20 @@ def main() -> None:
         + "    # same order as queries() — see the grading-window note there.\n"
         + f"    return {{\n{obody}\n    }}" + out[om2.end():]
     )
+    # ADVICE r04: assert the rewrite preserved both key sets exactly
+    # before touching disk — any dropped or mutated entry fails loudly.
+    _, q2 = extract(out, "queries")
+    _, o2 = extract(out, "oracle_sql")
+    assert set(q2) == set(qents), (
+        f"queries() keys changed: -{set(qents) - set(q2)} +{set(q2) - set(qents)}")
+    assert set(o2) == set(oents), (
+        f"oracle_sql() keys changed: -{set(oents) - set(o2)} +{set(o2) - set(oents)}")
+    assert set(o2) <= set(q2), f"oracles without queries: {set(o2) - set(q2)}"
+    assert q2 == {k: qents[k] for k in q2}, "a queries() value was mutated"
+    assert o2 == {k: oents[k] for k in o2}, "an oracle_sql() value was mutated"
     open(ENTRY, "w").write(out)
-    print("rewritten; re-run tests/test_entry_oracle.py before committing")
+    print(f"rewritten; key sets verified ({len(q2)} queries, {len(o2)} "
+          "oracles); re-run tests/test_entry_oracle.py before committing")
 
 
 if __name__ == "__main__":
