@@ -2802,13 +2802,11 @@ def q_triangle_counts(spark, sf_dir):
 
     d = _spread_docs(spark, sf_dir)
     n_docs = d.count()
-    edges = None
-    for o in _TRI_OFFS:
-        e = d.select(
-            F.col("doc_id").alias("src"),
-            ((F.col("doc_id") + o) % n_docs).alias("dst"),
-        )
-        edges = e if edges is None else edges.unionByName(e)
+    offs = F.array(*[F.lit(int(o)) for o in _TRI_OFFS])
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(offs).alias("_o"),
+    ).select("src", ((F.col("src") + F.col("_o")) % n_docs).alias("dst"))
     return triangle_counts(edges)
 
 
@@ -3246,7 +3244,9 @@ def q_resumable_ranges(spark, sf_dir):
         ).select("c_custkey", "cell")
 
     job = ResumableJob(spark, out, "graded_ranges")
-    first = job.run(ranges, fn)
+    # ranges are independent jobs — submit them concurrently (the scale
+    # path on a real cluster; commit/resume granularity is unchanged)
+    first = job.run(ranges, fn, max_concurrency=_RR_N)
     assert first["completed"] == _RR_N, first
     second = job.run(ranges, fn)  # resume path: everything checkpointed
     assert second["skipped"] == _RR_N and second["completed"] == 0, second

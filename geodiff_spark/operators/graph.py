@@ -196,6 +196,11 @@ def triangle_counts(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .distinct()
+        # e feeds the degree count (twice), the orientation join and the
+        # closure probe — checkpoint it so the dedup shuffle runs once,
+        # not once per consumer (Catalyst does not dedupe common
+        # subtrees across joins)
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))

@@ -59,9 +59,12 @@ class ResumableJob:
     """
 
     def __init__(self, spark: SparkSession, out_dir: str, job_name: str):
+        import threading
+
         self.spark = spark
         self.out_dir = out_dir
         self.job_name = job_name
+        self._lineage_lock = threading.Lock()
         os.makedirs(out_dir, exist_ok=True)
 
     # -- bookkeeping ------------------------------------------------------
@@ -75,58 +78,90 @@ class ResumableJob:
         return os.path.exists(self._manifest_path(r))
 
     def _log_lineage(self, record: dict) -> None:
-        with open(os.path.join(self.out_dir, "_lineage.jsonl"), "a") as f:
-            f.write(json.dumps(record) + "\n")
+        with self._lineage_lock:
+            with open(os.path.join(self.out_dir, "_lineage.jsonl"), "a") as f:
+                f.write(json.dumps(record) + "\n")
 
     # -- execution --------------------------------------------------------
+    def _run_range(
+        self,
+        r: CellRange,
+        fn: Callable[[SparkSession, CellRange], DataFrame],
+        inputs: Sequence[str],
+    ) -> None:
+        t0 = time.perf_counter()
+        df = fn(self.spark, r)
+        tmp = self._range_dir(r) + "._tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        rows = self.spark.read.parquet(tmp).count()
+        dt = time.perf_counter() - t0
+        # publish: rename tmp -> final, then manifest LAST (the commit
+        # point — a crash in between re-runs the range idempotently)
+        final = self._range_dir(r)
+        if os.path.exists(final):
+            import shutil
+
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        manifest = {
+            "job": self.job_name,
+            "range_index": r.index,
+            "cell_lo": r.lo,
+            "cell_hi": r.hi,
+            "rows": rows,
+            "seconds": round(dt, 3),
+            "inputs": list(inputs),
+            "spark_conf": {
+                "shuffle_partitions": self.spark.conf.get(
+                    "spark.sql.shuffle.partitions"
+                ),
+                "aqe": self.spark.conf.get("spark.sql.adaptive.enabled"),
+            },
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        with open(self._manifest_path(r), "w") as f:
+            json.dump(manifest, f)
+        self._log_lineage(manifest)
+
     def run(
         self,
         ranges: Sequence[CellRange],
         fn: Callable[[SparkSession, CellRange], DataFrame],
         *,
         inputs: Sequence[str] = (),
+        max_concurrency: int = 1,
     ) -> dict:
-        """Returns {'completed': n, 'skipped': n, 'seconds': total}."""
+        """Returns {'completed': n, 'skipped': n, 'seconds': total}.
+
+        ``max_concurrency`` > 1 submits pending ranges from a thread
+        pool — Spark's scheduler interleaves the independent jobs across
+        the cluster (the standard concurrent-job pattern; each range
+        still commits independently, so resume granularity is
+        unchanged). Ranges are disjoint by contract, so concurrent
+        completion order only permutes _lineage.jsonl lines, never the
+        per-range records themselves.
+        """
         skipped = completed = 0
         t_all = time.perf_counter()
+        pending = []
         for r in ranges:
             if self.is_done(r):
                 skipped += 1
-                continue
-            t0 = time.perf_counter()
-            df = fn(self.spark, r)
-            tmp = self._range_dir(r) + "._tmp"
-            df.write.mode("overwrite").parquet(tmp)
-            rows = self.spark.read.parquet(tmp).count()
-            dt = time.perf_counter() - t0
-            # publish: rename tmp -> final, then manifest LAST (the commit
-            # point — a crash in between re-runs the range idempotently)
-            final = self._range_dir(r)
-            if os.path.exists(final):
-                import shutil
+            else:
+                pending.append(r)
+        if max_concurrency <= 1 or len(pending) <= 1:
+            for r in pending:
+                self._run_range(r, fn, inputs)
+                completed += 1
+        else:
+            from concurrent.futures import ThreadPoolExecutor
 
-                shutil.rmtree(final)
-            os.rename(tmp, final)
-            manifest = {
-                "job": self.job_name,
-                "range_index": r.index,
-                "cell_lo": r.lo,
-                "cell_hi": r.hi,
-                "rows": rows,
-                "seconds": round(dt, 3),
-                "inputs": list(inputs),
-                "spark_conf": {
-                    "shuffle_partitions": self.spark.conf.get(
-                        "spark.sql.shuffle.partitions"
-                    ),
-                    "aqe": self.spark.conf.get("spark.sql.adaptive.enabled"),
-                },
-                "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            }
-            with open(self._manifest_path(r), "w") as f:
-                json.dump(manifest, f)
-            self._log_lineage(manifest)
-            completed += 1
+            with ThreadPoolExecutor(max_concurrency) as pool:
+                futs = [pool.submit(self._run_range, r, fn, inputs)
+                        for r in pending]
+                for f in futs:
+                    f.result()  # re-raise the first range failure
+                    completed += 1
         return {
             "completed": completed,
             "skipped": skipped,

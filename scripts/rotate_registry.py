@@ -11,9 +11,18 @@ oldest-first order. Dry-run by default; --write applies the edit in
 place and then re-parses the rewritten file, asserting the query /
 oracle key sets are exactly preserved (fails loudly on any drop).
 
+Once every query has a green row (the post-r05 steady state), the
+never-graded set is empty and the whole 50-slot window becomes re-grade
+slack: running `--write` each round then cycles the window through the
+registry oldest-attestation-first, so a regression in any query is
+caught within ceil(145/50) = 3 rounds. `--regrade N` previews/forces a
+window with at least N re-grade slots even while never-graded queries
+remain (they keep absolute priority for the other slots).
+
 Usage:
-  python scripts/rotate_registry.py            # show the planned order
-  python scripts/rotate_registry.py --write    # rewrite __spark_entry__.py
+  python scripts/rotate_registry.py              # show the planned order
+  python scripts/rotate_registry.py --write      # rewrite __spark_entry__.py
+  python scripts/rotate_registry.py --regrade 10 # reserve >=10 re-grade slots
 """
 
 from __future__ import annotations
@@ -93,9 +102,22 @@ def main() -> None:
         key=lambda k: (first[k], rank.get(k, len(LOAD_BEARING)),
                        list(qents).index(k)),
     )
-    order = never + graded
+    # --regrade N: reserve at least N window slots for re-grades by
+    # truncating the never-graded block (never below what fits anyway).
+    n_regrade = 0
+    deferred: list[str] = []
+    if "--regrade" in sys.argv:
+        n_regrade = int(sys.argv[sys.argv.index("--regrade") + 1])
+        keep = min(len(never), max(0, 50 - n_regrade))
+        never, deferred = never[:keep], never[keep:]
+    # window = truncated never-graded block, then re-grades fill to 50;
+    # deferred never-graded queries sit right after the window so the
+    # next rotation re-leads with them.
+    fill = max(0, 50 - len(never))
+    order = never + graded[:fill] + deferred + graded[fill:]
     print(f"{len(order)} queries; {len(never)} never-hard-graded lead the "
-          f"window; window slack after them: {max(0, 50 - len(never))}")
+          f"window; window slack after them: {max(0, 50 - len(never))}"
+          + (f" (>= {n_regrade} re-grade slots forced)" if n_regrade else ""))
     for i, k in enumerate(order[:50], 1):
         tag = "" if k not in first else f"  (re-grade; first green r0{first[k]})"
         print(f"  {i:2d}. {k}{tag}")
