@@ -188,12 +188,21 @@ def kring_udf(cell: Column, k: int) -> Column:
 # JVM Column expressions (whole-stage codegen; bit-identical to numpy)
 # --------------------------------------------------------------------------
 
-def _spread_expr(v: Column) -> Column:
-    v = (v.bitwiseOR(F.shiftleft(v, 16))).bitwiseAND(F.lit(_M16))
-    v = (v.bitwiseOR(F.shiftleft(v, 8))).bitwiseAND(F.lit(_M8))
-    v = (v.bitwiseOR(F.shiftleft(v, 4))).bitwiseAND(F.lit(_M4))
-    v = (v.bitwiseOR(F.shiftleft(v, 2))).bitwiseAND(F.lit(_M2))
-    v = (v.bitwiseOR(F.shiftleft(v, 1))).bitwiseAND(F.lit(_M1))
+_SPREAD_STAGES = ((16, _M16), (8, _M8), (4, _M4), (2, _M2), (1, _M1))
+
+
+def _spread_expr(v: Column, bits: int = 32) -> Column:
+    """Morton bit-spread of a ``bits``-bit value. Each stage references
+    its input twice, so the Column tree holds 2^stages copies of ``v``
+    — enough to blow Janino's 64 KB codegen limit once the clamped
+    float→int encode is inlined at every leaf. A stage with shift s is
+    the identity whenever the running value is < 2^s (the shifted copy
+    lands entirely under the mask's cleared bits), so for res-bounded
+    inputs we keep only stages with s < bits: res 4 shrinks the tree
+    32× and keeps the whole plan inside whole-stage codegen."""
+    for s, mask in _SPREAD_STAGES:
+        if s < bits:
+            v = (v.bitwiseOR(F.shiftleft(v, s))).bitwiseAND(F.lit(mask))
     return v
 
 
@@ -210,8 +219,8 @@ def cell_expr(lat: Column, lon: Column, res: int) -> Column:
     x, y = xy_expr(lat, lon, res)
     return (
         F.lit(MODE_BIT | (res << RES_SHIFT))
-        .bitwiseOR(_spread_expr(x))
-        .bitwiseOR(F.shiftleft(_spread_expr(y), 1))
+        .bitwiseOR(_spread_expr(x, res))
+        .bitwiseOR(F.shiftleft(_spread_expr(y, res), 1))
     )
 
 
@@ -219,10 +228,12 @@ def cell_expr(lat: Column, lon: Column, res: int) -> Column:
 # DuckDB SQL text (oracle parity)
 # --------------------------------------------------------------------------
 
-def _spread_sql(v: str) -> str:
+def _spread_sql(v: str, bits: int = 32) -> str:
+    """SQL twin of :func:`_spread_expr` (same identity-stage elision)."""
     s = v
-    for shift, mask in ((16, _M16), (8, _M8), (4, _M4), (2, _M2), (1, _M1)):
-        s = f"((({s}) | (({s}) << {shift})) & {mask})"
+    for shift, mask in _SPREAD_STAGES:
+        if shift < bits:
+            s = f"((({s}) | (({s}) << {shift})) & {mask})"
     return s
 
 
@@ -237,7 +248,7 @@ def xy_sql(lat: str, lon: str, res: int) -> tuple[str, str]:
 def cell_sql(lat: str, lon: str, res: int) -> str:
     x, y = xy_sql(lat, lon, res)
     head = MODE_BIT | (res << RES_SHIFT)
-    return f"({head} | {_spread_sql(x)} | ({_spread_sql(y)} << 1))"
+    return f"({head} | {_spread_sql(x, res)} | ({_spread_sql(y, res)} << 1))"
 
 
 # --------------------------------------------------------------------------
@@ -276,7 +287,8 @@ def pyramid_rollup(
     # whole stage falls back to interpreted eval.
     x, y = xy_expr(lat, lon, fine_res)
     base = df.select(
-        _spread_expr(x).alias("_sx"), _spread_expr(y).alias("_sy"), "*"
+        _spread_expr(x, fine_res).alias("_sx"),
+        _spread_expr(y, fine_res).alias("_sy"), "*",
     )
     tiles = []
     for l in sorted(levels):
@@ -371,7 +383,8 @@ def pyramid_delta(
     pts = minus.unionByName(plus)
     x, y = xy_expr(F.col("_lat"), F.col("_lon"), fine_res)
     base = pts.select(
-        _spread_expr(x).alias("_sx"), _spread_expr(y).alias("_sy"), "_w"
+        _spread_expr(x, fine_res).alias("_sx"),
+        _spread_expr(y, fine_res).alias("_sy"), "_w",
     )
     tiles = []
     for l in sorted(levels):

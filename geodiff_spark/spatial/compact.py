@@ -187,8 +187,8 @@ def rect_cover(
         .select(
             *keep_cols,
             F.lit(_head(res))
-            .bitwiseOR(_spread_expr(F.col("_x")))
-            .bitwiseOR(F.shiftleft(_spread_expr(F.col("_y")), 1))
+            .bitwiseOR(_spread_expr(F.col("_x"), res))
+            .bitwiseOR(F.shiftleft(_spread_expr(F.col("_y"), res), 1))
             .alias("cell"),
         )
     )

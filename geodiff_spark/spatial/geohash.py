@@ -44,7 +44,7 @@ def geohash_expr(lat: Column, lon: Column, precision: int = 6) -> Column:
     y = F.least(F.greatest(F.floor((lat + 90.0) / 180.0 * n).cast("long"), lo), hi)
     # lon occupies the even bit positions counted from the MSB of the
     # 5p-bit word -> odd positions from the LSB (5p is even)
-    v = F.shiftleft(_spread_expr(x), 1).bitwiseOR(_spread_expr(y))
+    v = F.shiftleft(_spread_expr(x, bits), 1).bitwiseOR(_spread_expr(y, bits))
     chars = []
     for k in range(precision):
         shift = 5 * (precision - 1 - k)
