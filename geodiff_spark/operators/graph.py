@@ -552,9 +552,13 @@ def label_prop(
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a") != F.col("b")
     )
-    und = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        # every round joins the same symmetrized list — checkpoint it so
+        # the dedup shuffle runs once, not once per iteration
+        .localCheckpoint(eager=False)
+    )
     labels = (
         nodes.select(F.col(node_col).alias("n"))
         .distinct()
