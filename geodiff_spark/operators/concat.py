@@ -112,7 +112,20 @@ def merge_pair(
 
     # --- mergeUpdate value pipeline, used by U+U and D+I ---------------
     # per column: vOld/vNew with definedness, plus per-column "differs".
+    # MATERIALIZED in their own projection before the output CASEs:
+    # inlined, every output column re-embeds the discriminators and its
+    # tagged comparison, and the op filter re-embeds the OR of every
+    # column's comparison — the single fused SMJ-consume method then
+    # crosses Janino's 64 KB limit on wide tables and the whole join
+    # stage drops off codegen. As non-cheap aliases referenced
+    # repeatedly, CollapseProject keeps the stages apart and each
+    # consume method stays linear in n_cols.
     v_old, v_new, v_old_def, v_new_def, differ = {}, {}, {}, {}, {}
+    stage1 = [F.col(c) for c in j.columns] + [
+        only1.alias("_only1"), only2.alias("_only2"),
+        is_iu.alias("_is_iu"), is_uu.alias("_is_uu"),
+        is_ud.alias("_is_ud"), is_di.alias("_is_di"),
+    ]
     for i, c in enumerate(cols):
         d1o = op1.isNotNull() & bit_defined(F.col("e1_old_bits"), i)
         d1n = op1.isNotNull() & bit_defined(F.col("e1_new_bits"), i)
@@ -122,8 +135,18 @@ def merge_pair(
         vn = F.when(d2n, F.col(f"e2_new_{c}")).when(d1n, F.col(f"e1_new_{c}"))
         vod = d1o | d2o
         vnd = d1n | d2n
-        v_old[c], v_new[c], v_old_def[c], v_new_def[c] = vo, vn, vod, vnd
-        differ[c] = _differs(vod, vo, vnd, vn)
+        stage1 += [
+            vo.alias(f"_vo_{c}"), vn.alias(f"_vn_{c}"),
+            vod.alias(f"_vod_{c}"), vnd.alias(f"_vnd_{c}"),
+            _differs(vod, vo, vnd, vn).alias(f"_dif_{c}"),
+        ]
+        v_old[c], v_new[c] = F.col(f"_vo_{c}"), F.col(f"_vn_{c}")
+        v_old_def[c], v_new_def[c] = F.col(f"_vod_{c}"), F.col(f"_vnd_{c}")
+        differ[c] = F.col(f"_dif_{c}")
+    j = j.select(*stage1)
+    only1, only2 = F.col("_only1"), F.col("_only2")
+    is_iu, is_uu = F.col("_is_iu"), F.col("_is_uu")
+    is_ud, is_di = F.col("_is_ud"), F.col("_is_di")
 
     merged_required = (
         reduce(lambda a, b: a | b, [differ[c] for c in info.non_pk])

@@ -125,16 +125,35 @@ def diff_table(
 
     in_base = F.col("b._b_present").isNotNull()
     in_mod = F.col("m._m_present").isNotNull()
-    changed = {c: ~_cmp_expr(info, c, "b", "m") for c in info.non_pk}
+    changed_in = {c: ~_cmp_expr(info, c, "b", "m") for c in info.non_pk}
     any_changed = (
-        reduce(lambda x, y: x | y, changed.values()) if changed else F.lit(False)
+        reduce(lambda x, y: x | y, changed_in.values())
+        if changed_in else F.lit(False)
     )
 
-    op = (
+    op_in = (
         F.when(in_mod & ~in_base, F.lit(OP_INSERT))
         .when(in_base & ~in_mod, F.lit(OP_DELETE))
         .when(any_changed, F.lit(OP_UPDATE))
     )
+
+    # Materialize `op` and the per-column change flags ONCE before the
+    # mask projection. Inlined, every column's old/new/defined exprs
+    # re-embed the full `op` CASE (which itself embeds every column's
+    # comparison) — an O(n_cols^2) tree that blows Janino's 64 KB
+    # method limit on wide tables and knocks the whole join stage off
+    # codegen. As separate non-cheap aliases referenced repeatedly,
+    # CollapseProject keeps the two projections apart and the mask
+    # stage stays linear in n_cols.
+    j = j.select(
+        *[F.col(f"b.{c}").alias(f"_b_{c}") for c in cols],
+        *[F.col(f"m.{c}").alias(f"_m_{c}") for c in cols],
+        op_in.alias("op"),
+        *[changed_in[c].alias(f"_chg_{c}") for c in info.non_pk],
+    ).filter(F.col("op").isNotNull())
+
+    op = F.col("op")
+    changed = {c: F.col(f"_chg_{c}") for c in info.non_pk}
 
     full = info.full_mask()
     pk_mask = info.pk_mask()
@@ -143,7 +162,7 @@ def diff_table(
     old_bits: Column = F.lit(0).cast("long")
     new_bits: Column = F.lit(0).cast("long")
     for i, c in enumerate(cols):
-        bcol, mcol = F.col(f"b.{c}"), F.col(f"m.{c}")
+        bcol, mcol = F.col(f"_b_{c}"), F.col(f"_m_{c}")
         if info.is_pk(c):
             # update: PK defined in old only (new PK undefined — a PK-equi
             # diff can never observe a PK change; docs/changeset-format.md:38)
@@ -167,16 +186,12 @@ def diff_table(
         old_bits = old_bits + F.when(old_def, w).otherwise(F.lit(0).cast("long"))
         new_bits = new_bits + F.when(new_def, w).otherwise(F.lit(0).cast("long"))
 
-    out = (
-        j.withColumn("op", op)
-        .filter(F.col("op").isNotNull())
-        .select(
-            "op",
-            *old_cols,
-            *new_cols,
-            old_bits.alias("old_bits"),
-            new_bits.alias("new_bits"),
-        )
+    out = j.select(
+        "op",
+        *old_cols,
+        *new_cols,
+        old_bits.alias("old_bits"),
+        new_bits.alias("new_bits"),
     )
     # silence unused-var warnings for documented masks
     _ = full, pk_mask
