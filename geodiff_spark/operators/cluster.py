@@ -90,7 +90,12 @@ def connected_components(
     ).localCheckpoint()
     prev = _fingerprint(e)
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        # small-star consumes its input in 3 branches (mins join, leaves,
+        # roots) — checkpoint the large-star relation so its join runs
+        # once per round, not once per branch
+        e = _small_star(
+            _large_star(e).localCheckpoint(eager=False)
+        ).localCheckpoint()
         cur = _fingerprint(e)
         if cur == prev:
             break

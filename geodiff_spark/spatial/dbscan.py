@@ -98,11 +98,18 @@ def dbscan(
     """-> (id, component, is_core) for every clustered point (core or
     border); noise is dropped. component = MIN core id in the cluster;
     border ties resolve to the minimum neighboring core's component."""
+    # the pair relation feeds degrees, both core-edge joins and the
+    # border pass — checkpoint it so the k-ring explode join runs once,
+    # not once per consumer (Catalyst doesn't dedupe common subtrees)
     pairs = eps_pairs(
         points, eps=eps, res=res, id_col=id_col, lat_col=lat_col, lon_col=lon_col
-    )
+    ).localCheckpoint(eager=False)
     deg = pairs.groupBy("ia").agg(F.count(F.lit(1)).alias("n"))
-    core = deg.filter(F.col("n") >= min_pts).select(F.col("ia").alias("cid"))
+    core = (
+        deg.filter(F.col("n") >= min_pts)
+        .select(F.col("ia").alias("cid"))
+        .localCheckpoint(eager=False)
+    )
     core_edges = (
         pairs.join(core.withColumnRenamed("cid", "ia"), "ia")
         .join(core.withColumnRenamed("cid", "ib"), "ib")
