@@ -802,7 +802,7 @@ def q_kmeans_embed(spark, sf_dir):
     emb = _emb(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism, "vec_id"
     )
-    return kmeans_assign(emb, k=8, iters=2)
+    return kmeans_assign(emb, k=8, iters=2, dim=64)
 
 
 def _kmeans_oracle():
@@ -824,7 +824,7 @@ def q_ann_ivf_trained(spark, sf_dir):
     from geodiff_spark.operators.similarity import ann_ivf_search
 
     emb = _emb(spark, sf_dir)
-    cents = kmeans_centroids(emb, k=8, iters=2).select(
+    cents = kmeans_centroids(emb, k=8, iters=2, dim=64).select(
         F.col("cid").alias("vec_id"), F.col("centroid").alias("embedding")
     )
     queries = emb.filter("vec_id < 3").select(
@@ -3971,7 +3971,7 @@ def q_pq_codes(spark, sf_dir):
     emb = _emb(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism, "vec_id"
     )
-    return pq_codes(emb, m=4, k=16, iters=1)
+    return pq_codes(emb, m=4, k=16, iters=1, dim=64)
 
 
 def _pq_codes_sql():
