@@ -142,6 +142,19 @@ _DOCS_DOUBLED_SQL = (
 )
 
 
+def _docs_doubled_lang(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    return d.unionByName(
+        d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang")
+    )
+
+
+_DOCS_DOUBLED_LANG_SQL = (
+    "SELECT doc_id, text, lang FROM documents "
+    "UNION ALL SELECT doc_id + 1000000 AS doc_id, text, lang FROM documents"
+)
+
+
 def _emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -2277,6 +2290,79 @@ def _incremental_dedup_sql():
     FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
     WHERE a.doc_id % 13 = 0 OR a.doc_id % 17 = 0
        OR b.doc_id % 13 = 0 OR b.doc_id % 17 = 0
+    """
+
+
+_CUR_BUDGET = 2048
+
+
+def q_incremental_curation(spark, sf_dir):
+    """End-to-end incremental curation DAG as ONE query: diff two
+    corpus snapshots (inserts %13, updates %17, deletes %19 over the
+    doubled corpus — the incremental_dedup recipe) -> maintain the
+    per-doc curation state (fp, lang, quality, token count) at
+    |changeset| text cost -> exact-dedup survivors -> per-language
+    adaptive quality gate -> 2048-token sequence packing. Every stage
+    is an already-graded operator; this row proves the IVM path
+    COMPOSES (VERDICT r04 #7).
+
+    Scale shape: the text kernels run over the changeset only (plus
+    the one-time state build, which deployment persists — the
+    localCheckpoints below stand in for the stored state table and cut
+    every downstream corpus rescan); dedup/gate/pack shuffle the
+    narrow 5-column state, never the text. At 100 TB the day's work is
+    |changeset| text scoring + three state-width shuffles."""
+    from geodiff_spark.operators.corpus import (
+        curate_corpus,
+        curation_state,
+        curation_state_update,
+    )
+
+    info = TableInfo(
+        name="documents", columns=("doc_id", "text", "lang"), pk=("doc_id",)
+    )
+    doubled = _docs_doubled_lang(spark, sf_dir)
+    base = doubled.filter("doc_id % 13 != 0")
+    mod = doubled.filter("doc_id % 19 != 0").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 17 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    changes = diff_table(base, mod, info).df.localCheckpoint(eager=False)
+    state = curation_state(base).localCheckpoint(eager=False)
+    new_state = curation_state_update(state, changes)
+    return curate_corpus(new_state, budget=_CUR_BUDGET)
+
+
+def _incremental_curation_sql():
+    fp = TX.fingerprint_sql("text")
+    q = TX.quality_sql("text")
+    nt = TX.token_count_sql("text")
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text,
+        lang
+      FROM ({_DOCS_DOUBLED_LANG_SQL}) WHERE doc_id % 19 != 0
+    ), state AS (
+      SELECT doc_id, lang, {fp} AS fp, {q} AS q, {nt} AS n_tok FROM corpus
+    ), surv AS (
+      SELECT doc_id, lang, q, n_tok FROM (
+        SELECT *, min(doc_id) OVER (PARTITION BY fp) AS _m FROM state
+      ) WHERE doc_id = _m
+    ), gated AS (
+      SELECT doc_id, lang, q, n_tok FROM (
+        SELECT *,
+          row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rk,
+          count(*) OVER (PARTITION BY lang) AS n_group
+        FROM surv
+      ) WHERE rk <= ceil(n_group / 2.0)
+    )
+    SELECT doc_id, n_tok, lang, q,
+           CAST(floor((cum - n_tok) / {_CUR_BUDGET}.0) AS BIGINT) AS bin,
+           CAST((cum - n_tok) % {_CUR_BUDGET} AS BIGINT) AS bin_offset
+    FROM (SELECT *, sum(n_tok) OVER (ORDER BY doc_id) AS cum FROM gated)
     """
 
 
@@ -5312,6 +5398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_assign": q_range_assign,
         "polyline_perimeter": q_polyline_perimeter,
         "assoc_rules": q_assoc_rules,
+        "incremental_curation": q_incremental_curation,
         "diff_changeset": q_diff_changeset,
         "apply_roundtrip": q_apply_roundtrip,
         "rebase_final": q_rebase_final,
@@ -5463,6 +5550,7 @@ def oracle_sql() -> dict[str, str]:
         "range_assign": _range_assign_sql(),
         "polyline_perimeter": _polyline_perimeter_sql(),
         "assoc_rules": _assoc_rules_sql(),
+        "incremental_curation": _incremental_curation_sql(),
         "diff_changeset": _DIFF_SQL,
         "apply_roundtrip": _MOD_SQL,
         "rebase_final": _REBASE_FINAL_SQL,

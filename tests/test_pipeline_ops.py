@@ -279,3 +279,51 @@ def test_fluency_buckets_fewer_rows_than_buckets(spark):
         for r in fluency_buckets(df, "doc_id", "text", n_buckets=5).collect()
     )
     assert [b for _, b in out] == [1, 2]
+
+
+# --- incremental curation DAG (VERDICT r04 #7) -----------------------------
+
+def test_curation_state_update_equals_rebuild(spark):
+    """IVM invariant: curation_state_update(state(base), diff(base, mod))
+    must equal curation_state(mod) built from scratch — same discipline
+    as dedup_index_update (tests above) but carrying lang/q/n_tok."""
+    from geodiff_spark.changeset import TableInfo
+    from geodiff_spark.operators.corpus import (
+        curation_state,
+        curation_state_update,
+        curate_corpus,
+    )
+    from geodiff_spark.operators.diff import diff_table
+    from tests.conftest import assert_df_equal
+
+    rows = [
+        (i, f"doc {i} body words " + ("extra tail " * (i % 4)), l)
+        for i, l in zip(range(30), ["en", "de", "zh"] * 10)
+    ]
+    base = spark.createDataFrame(
+        [r for r in rows if r[0] % 5 != 0], "doc_id long, text string, lang string"
+    )
+    mod = spark.createDataFrame(
+        [
+            (i, t + " v2" if i % 7 == 0 else t, l)
+            for i, t, l in rows
+            if i % 6 != 0
+        ],
+        "doc_id long, text string, lang string",
+    )
+    info = TableInfo(name="d", columns=("doc_id", "text", "lang"), pk=("doc_id",))
+    changes = diff_table(base, mod, info).df
+    updated = curation_state_update(curation_state(base), changes)
+    assert_df_equal(updated, curation_state(mod))
+    # and the downstream curation runs over the updated state
+    packed = curate_corpus(updated, budget=64)
+    assert packed.columns == ["doc_id", "n_tok", "lang", "q", "bin", "bin_offset"]
+    got = packed.collect()
+    assert len(got) > 0
+    # bins are contiguous in doc_id order: offset+n_tok never exceeds
+    # the budget boundary of the NEXT doc's start
+    byid = sorted(got, key=lambda r: r["doc_id"])
+    cum = 0
+    for r in byid:
+        assert r["bin"] == cum // 64 and r["bin_offset"] == cum % 64
+        cum += r["n_tok"]
