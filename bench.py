@@ -393,6 +393,7 @@ def run_suite() -> None:
         "tpch_q18", "decayed_counts", "hex_density", "hex_focal",
         "segment_snap", "streaming_sessionize", "contour_cells",
         "hot_keys",
+        "incremental_curation",
     ]
     qs = E.queries()
     # warmup at the smallest sf: codegen/JIT caches, python worker pool,

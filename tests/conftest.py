@@ -9,10 +9,14 @@ from geodiff_spark.session import get_spark
 def spark():
     import tempfile
 
+    # 16 of the 32 host cores: Spark-bound oracle-replay tests scale
+    # near-linearly to 16 here (suite wall 18.5 -> ~12 min) while the
+    # DuckDB oracle and python workers keep headroom; coverage is
+    # unchanged (no test depends on the partition count).
     s = get_spark(
         "geodiff_spark_tests",
-        cores=8,
-        shuffle_partitions=8,
+        cores=16,
+        shuffle_partitions=16,
         extra_confs={
             "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="gds_wh_"),
             "spark.ui.showConsoleProgress": "false",
