@@ -2331,7 +2331,7 @@ def q_incremental_curation(spark, sf_dir):
     )
     changes = diff_table(base, mod, info).df.localCheckpoint(eager=False)
     state = curation_state(base).localCheckpoint(eager=False)
-    new_state = curation_state_update(state, changes)
+    new_state = curation_state_update(state, changes, info=info)
     return curate_corpus(new_state, budget=_CUR_BUDGET)
 
 

@@ -463,50 +463,82 @@ def curation_state_update(
     id_col: str = "doc_id",
     text_col: str = "text",
     lang_col: str = "lang",
+    info: "TableInfo | None" = None,
 ) -> DataFrame:
     """Maintain the curation state from a geodiff changeset at
     |changeset| text cost — the curation analogue of
     dedup.dedup_index_update (same IVM discipline: never rescan the
     corpus; reference rebase/apply point-lookup shape,
     src/changesetutils.cpp applyChangeset). ``changes`` is the
-    changeset IR DataFrame (op + old_*/new_* columns,
-    docs/changeset-format.md): deletes and text-updates drop their
-    state row; inserts and text-updates add a freshly scored one. Only
-    CHANGED documents run the text kernels (fingerprint / quality /
-    token count — the dominant cost at corpus scale); the unchanged
-    tail is one broadcast anti-join against the state. An update's
-    lang comes from its surviving state row (the wire IR carries
-    Undefined for unchanged columns) via a broadcast point-lookup
-    join. Equals rebuilding the state on the modified corpus from
-    scratch (asserted in tests/test_pipeline_ops.py)."""
+    changeset IR DataFrame (op + old_*/new_* columns + definedness
+    masks, docs/changeset-format.md): deletes and updates drop their
+    state row; inserts and updates add one back, updates merged with
+    the surviving state row via a broadcast point-lookup join (text
+    changed -> re-score, else keep the stored fp/q/n_tok; lang changed
+    -> take the new value, else keep the stored one). Only CHANGED
+    documents run the text kernels (fingerprint / quality / token
+    count — the dominant cost at corpus scale); the unchanged tail is
+    one broadcast anti-join against the state.
+
+    Pass ``info`` (the diffed table's TableInfo) to read per-column
+    definedness exactly from the IR's ``new_bits`` mask; without it the
+    update discriminators fall back to ``new_<col> IS NOT NULL``, which
+    conflates "unchanged" with "updated to NULL" (fine for corpora
+    whose text/lang are non-null, the synthetic-table contract).
+    Equals rebuilding the state on the modified corpus from scratch
+    for ANY update pattern — text-only, lang-only, both (asserted in
+    tests/test_pipeline_ops.py)."""
     from geodiff_spark.functions.text import (
         fingerprint_expr,
         quality_expr,
         token_count_expr,
     )
 
-    text_touched = (F.col("op") == "update") & F.col(f"new_{text_col}").isNotNull()
-    removed = changes.filter((F.col("op") == "delete") | text_touched).select(
-        F.col(f"old_{id_col}").alias(id_col)
-    )
+    if info is not None:
+        text_def = F.shiftright("new_bits", info.bit(text_col)).bitwiseAND(1) == 1
+        lang_def = F.shiftright("new_bits", info.bit(lang_col)).bitwiseAND(1) == 1
+    else:
+        text_def = F.col(f"new_{text_col}").isNotNull()
+        lang_def = F.col(f"new_{lang_col}").isNotNull()
+
     t = F.col(f"new_{text_col}")
-    scored = [
-        fingerprint_expr(t).alias("fp"),
-        quality_expr(t).alias("q"),
-        token_count_expr(t).alias("n_tok"),
-    ]
+    fp_e, q_e, nt_e = fingerprint_expr(t), quality_expr(t), token_count_expr(t)
     ins = changes.filter(F.col("op") == "insert").select(
         F.col(f"new_{id_col}").alias(id_col),
         F.col(f"new_{lang_col}").alias("lang"),
-        *scored,
+        fp_e.alias("fp"),
+        q_e.alias("q"),
+        nt_e.alias("n_tok"),
     )
-    upd = changes.filter(text_touched).select(
-        F.col(f"old_{id_col}").alias(id_col), *scored
+    upd = changes.filter(F.col("op") == "update").select(
+        F.col(f"old_{id_col}").alias(id_col),
+        text_def.alias("_text_chg"),
+        F.when(lang_def, F.col(f"new_{lang_col}")).alias("_new_lang"),
+        # CASE short-circuits: the text kernels run only on rows whose
+        # text actually changed, the IVM cost model's core claim
+        F.when(text_def, fp_e).alias("_new_fp"),
+        F.when(text_def, q_e).alias("_new_q"),
+        F.when(text_def, nt_e).alias("_new_n_tok"),
     )
-    upd = F.broadcast(upd).join(state.select(id_col, "lang"), id_col, "inner")
+    merged = (
+        F.broadcast(upd)
+        .join(state, id_col, "inner")
+        .select(
+            F.col(id_col),
+            F.coalesce("_new_lang", "lang").alias("lang"),
+            F.when(F.col("_text_chg"), F.col("_new_fp")).otherwise(F.col("fp")).alias("fp"),
+            F.when(F.col("_text_chg"), F.col("_new_q")).otherwise(F.col("q")).alias("q"),
+            F.when(F.col("_text_chg"), F.col("_new_n_tok"))
+            .otherwise(F.col("n_tok"))
+            .alias("n_tok"),
+        )
+    )
+    removed = changes.filter(F.col("op").isin("delete", "update")).select(
+        F.col(f"old_{id_col}").alias(id_col)
+    )
     kept = state.join(F.broadcast(removed), id_col, "left_anti").select(*state.columns)
     return kept.unionByName(ins.select(*state.columns)).unionByName(
-        upd.select(*state.columns)
+        merged.select(*state.columns)
     )
 
 

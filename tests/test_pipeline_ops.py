@@ -303,9 +303,15 @@ def test_curation_state_update_equals_rebuild(spark):
     base = spark.createDataFrame(
         [r for r in rows if r[0] % 5 != 0], "doc_id long, text string, lang string"
     )
+    # every update pattern: text-only (%7), lang-only (%11),
+    # text+lang together (%13)
     mod = spark.createDataFrame(
         [
-            (i, t + " v2" if i % 7 == 0 else t, l)
+            (
+                i,
+                t + " v2" if i % 7 == 0 or i % 13 == 0 else t,
+                "fr" if i % 11 == 0 or i % 13 == 0 else l,
+            )
             for i, t, l in rows
             if i % 6 != 0
         ],
@@ -313,8 +319,9 @@ def test_curation_state_update_equals_rebuild(spark):
     )
     info = TableInfo(name="d", columns=("doc_id", "text", "lang"), pk=("doc_id",))
     changes = diff_table(base, mod, info).df
-    updated = curation_state_update(curation_state(base), changes)
-    assert_df_equal(updated, curation_state(mod))
+    for kw in ({"info": info}, {}):  # mask-exact and isNotNull fallback
+        updated = curation_state_update(curation_state(base), changes, **kw)
+        assert_df_equal(updated, curation_state(mod))
     # and the downstream curation runs over the updated state
     packed = curate_corpus(updated, budget=64)
     assert packed.columns == ["doc_id", "n_tok", "lang", "q", "bin", "bin_offset"]
