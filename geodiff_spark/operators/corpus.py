@@ -495,8 +495,10 @@ def curation_state_update(
     )
 
     if info is not None:
-        text_def = F.shiftright("new_bits", info.bit(text_col)).bitwiseAND(1) == 1
-        lang_def = F.shiftright("new_bits", info.bit(lang_col)).bitwiseAND(1) == 1
+        from geodiff_spark.changeset import bit_defined
+
+        text_def = bit_defined(F.col("new_bits"), info.bit(text_col))
+        lang_def = bit_defined(F.col("new_bits"), info.bit(lang_col))
     else:
         text_def = F.col(f"new_{text_col}").isNotNull()
         lang_def = F.col(f"new_{lang_col}").isNotNull()

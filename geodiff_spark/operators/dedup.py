@@ -550,10 +550,14 @@ def dedup_index_update(
     from geodiff_spark.functions.text import fingerprint_expr
 
     df = changes.df
-    # wire-faithful IR: UPDATE rows carry NULL (Undefined) for unchanged
-    # columns and keep the PK on the old side — an update that does not
-    # touch the text leaves the index untouched
-    text_touched = (F.col("op") == "update") & F.col(f"new_{text_col}").isNotNull()
+    # wire-faithful IR: UPDATE rows keep the PK on the old side and mark
+    # changed columns in the new_bits definedness mask (exact, unlike a
+    # NULL test, which would mistake "updated to NULL" for "unchanged")
+    # — an update that does not touch the text leaves the index untouched
+    from geodiff_spark.changeset import bit_defined
+
+    text_def = bit_defined(F.col("new_bits"), changes.info.bit(text_col))
+    text_touched = (F.col("op") == "update") & text_def
     removed_ids = df.filter((F.col("op") == "delete") | text_touched).select(
         F.col(f"old_{id_col}").alias(id_col)
     )
