@@ -85,9 +85,14 @@ def connected_components(
     component = themselves, so the output covers the whole corpus.
     Returns (node, component).
     """
+    # every checkpoint here is LAZY: the per-round fingerprint aggregate
+    # is the materializing action, so each round is exactly ONE job (an
+    # eager checkpoint would spend a second job per round re-walking the
+    # same data; block-manager per-block locking makes the multi-branch
+    # consumers safe — the first task computes, the rest read the block)
     e = _canon(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     prev = _fingerprint(e)
     for _ in range(max_iter):
         # small-star consumes its input in 3 branches (mins join, leaves,
@@ -95,7 +100,7 @@ def connected_components(
         # once per round, not once per branch
         e = _small_star(
             _large_star(e).localCheckpoint(eager=False)
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         cur = _fingerprint(e)
         if cur == prev:
             break

@@ -41,9 +41,18 @@ def pagerank_fp(
 ) -> DataFrame:
     """(node, rank) after ``iters`` fixed-point iterations; rank is the
     int64 scaled score (Σ exact — see module docstring)."""
-    n = nodes.select(F.col(node_col)).distinct()
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # the node set, deduped edge list and out-degrees are loop
+    # invariants consumed every round — checkpoint them (lazily) so
+    # their shuffles run once, not once per iteration
+    n = nodes.select(F.col(node_col)).distinct().localCheckpoint(eager=False)
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=False
+    )
 
     n_nodes = n.count()  # one scalar action; the iteration loop itself
     # runs no driver-side data collection
@@ -69,7 +78,11 @@ def pagerank_fp(
                     + F.expr(f"({D_NUM} * coalesce(m, 0L)) div {D_DEN}")
                 ).alias("r"),
             )
-            .localCheckpoint()
+            # LAZY: truncates the logical plan per round while deferring
+            # execution — the caller's single action walks the whole
+            # round chain once, persisting each round's blocks as it
+            # goes (vs one eager job per round)
+            .localCheckpoint(eager=False)
         )
     return ranks.select(F.col(node_col), F.col("r").alias("rank"))
 
@@ -288,7 +301,9 @@ def k_core(
         .filter(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint()
+        # lazy throughout this loop: the per-round scalar count is the
+        # materializing action, so each peel round is exactly one job
+        .localCheckpoint(eager=False)
     )
     n_edges = e.count()
     for _ in range(max_iter):
@@ -305,7 +320,7 @@ def k_core(
             e.join(alive.withColumnRenamed("n", "u"), "u", "left_semi")
             .join(alive.withColumnRenamed("n", "v"), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         n2 = e2.count()
         if n2 == n_edges:
@@ -384,12 +399,19 @@ def hop_distances(
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
     )
-    adj = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct().localCheckpoint()
+    # lazy checkpoints throughout: the per-round frontier count is the
+    # single materializing action (it walks adj / visited / nxt in one
+    # job and persists their blocks), vs three eager jobs per hop
+    adj = (
+        e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     visited = (
         sources.select(F.col(node_col).alias("n"))
         .distinct()
         .withColumn("dist", F.lit(0).cast("long"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     frontier = visited
     for hop in range(1, max_hops + 1):
@@ -399,11 +421,11 @@ def hop_distances(
             .distinct()
             .join(visited.select("n"), "n", "left_anti")
             .withColumn("dist", F.lit(hop).cast("long"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if nxt.count() == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     else:
         raise RuntimeError(f"hop_distances: frontier alive after {max_hops} hops")
@@ -467,16 +489,19 @@ def weighted_distances(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v"),
         F.col(w_col).cast("long").alias("w"),
     ).filter(F.col("u") != F.col("v"))
+    # lazy checkpoints: the caller's single action walks all `rounds`
+    # relaxations in one job, persisting each round's blocks (plan
+    # still truncated per round), vs one eager job per round
     adj = (
         e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
         .groupBy("u", "v").agg(F.min("w").alias("w"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     dist = (
         sources.select(F.col(node_col).alias("n"))
         .distinct()
         .withColumn("dist", F.lit(0).cast("long"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(rounds):
         relaxed = (
@@ -486,7 +511,7 @@ def weighted_distances(
         dist = (
             dist.unionByName(relaxed)
             .groupBy("n").agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return dist.select(F.col("n").alias(node_col), "dist")
 
@@ -579,7 +604,8 @@ def label_prop(
         labels = (
             labels.join(pick, "n", "left")
             .select("n", F.coalesce("_new", "label").alias("label"))
-            .localCheckpoint()
+            # lazy: one caller action walks all rounds in a single job
+            .localCheckpoint(eager=False)
         )
     return labels.select(F.col("n").alias(node_col), "label")
 

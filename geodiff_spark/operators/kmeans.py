@@ -153,14 +153,15 @@ def kmeans_assign(
     if dim is None:  # optional: callers with a known width skip this job
         dim = len(df.select(vec_col).first()[0])
     q = df.select(F.col(id_col), quantize_expr(F.col(vec_col), scale).alias("q"))
-    q = q.cache()
-    try:
-        centroids = _train(q, id_col, k, iters, scale, dim)
-        return _assign(q, id_col, centroids).select(
-            id_col, "cluster", "dist_scaled"
-        )
-    finally:
-        q.unpersist()
+    # lazy checkpoint (materialized by _train's first collect) instead of
+    # cache()+finally-unpersist: the returned assignment plan walks q
+    # AFTER this function exits, so the eager unpersist dropped the
+    # blocks before the caller's action and re-quantized the corpus
+    q = q.localCheckpoint(eager=False)
+    centroids = _train(q, id_col, k, iters, scale, dim)
+    return _assign(q, id_col, centroids).select(
+        id_col, "cluster", "dist_scaled"
+    )
 
 
 def kmeans_centroids(
@@ -345,76 +346,77 @@ def pq_codes(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
+    # lazy checkpoint (materialized by the seed collect below) instead
+    # of cache()+finally-unpersist: the returned assignment plan walks
+    # qf AFTER this function exits, so an eager unpersist would drop the
+    # blocks before the caller's action and re-quantize the corpus
     qf = df.select(
         F.col(id_col), quantize_expr(F.col(vec_col), scale).alias("qf")
-    ).cache()
-    try:
-        # ONE seed collect serves all m subspaces (the k lowest-id full
-        # vectors, sliced driver-side) — versus m separate TakeOrdered
-        # jobs.
-        seed_rows = qf.orderBy(id_col).limit(k).collect()
-        cents = [
-            [
-                (i, list(r["qf"][s * sub:(s + 1) * sub]))
-                for i, r in enumerate(seed_rows)
-            ]
-            for s in range(m)
+    ).localCheckpoint(eager=False)
+    # ONE seed collect serves all m subspaces (the k lowest-id full
+    # vectors, sliced driver-side) — versus m separate TakeOrdered
+    # jobs.
+    seed_rows = qf.orderBy(id_col).limit(k).collect()
+    cents = [
+        [
+            (i, list(r["qf"][s * sub:(s + 1) * sub]))
+            for i, r in enumerate(seed_rows)
         ]
-        # FUSED Lloyd loop: all m subspaces train in ONE job per
-        # iteration. Each row emits m (subspace, cluster, slice) structs
-        # via posexplode, one map-side-combining groupBy((s, cluster))
-        # yields every codebook's update, so driver syncs drop from
-        # m*iters collects of k rows to iters collects of m*k rows —
-        # same total state, 1/m the job-launch + scan count. The update
-        # arithmetic is byte-identical to _train (same shifted integer
-        # floor-div mean, same (dist, cid) tie-break, same empty-cluster
-        # carry-forward), so pq_codes_sql stays an exact oracle.
-        best_for = nearest_centroid
+        for s in range(m)
+    ]
+    # FUSED Lloyd loop: all m subspaces train in ONE job per
+    # iteration. Each row emits m (subspace, cluster, slice) structs
+    # via posexplode, one map-side-combining groupBy((s, cluster))
+    # yields every codebook's update, so driver syncs drop from
+    # m*iters collects of k rows to iters collects of m*k rows —
+    # same total state, 1/m the job-launch + scan count. The update
+    # arithmetic is byte-identical to _train (same shifted integer
+    # floor-div mean, same (dist, cid) tie-break, same empty-cluster
+    # carry-forward), so pq_codes_sql stays an exact oracle.
+    best_for = nearest_centroid
 
-        for _ in range(iters):
-            per_sub = F.array(
-                *[
-                    F.struct(
-                        best_for(
-                            F.slice(F.col("qf"), s * sub + 1, sub), cents[s]
-                        ).cid.alias("cluster"),
-                        F.slice(F.col("qf"), s * sub + 1, sub).alias("qs"),
-                    )
-                    for s in range(m)
-                ]
-            )
-            ex = qf.select(F.posexplode(per_sub).alias("s", "x")).select(
-                "s", "x.cluster", "x.qs"
-            )
-            upd = (
-                ex.groupBy("s", "cluster")
-                .agg(
-                    F.count(F.lit(1)).alias("cnt"),
-                    *[F.sum(F.col("qs")[i]).alias(f"s{i}") for i in range(sub)],
+    for _ in range(iters):
+        per_sub = F.array(
+            *[
+                F.struct(
+                    best_for(
+                        F.slice(F.col("qf"), s * sub + 1, sub), cents[s]
+                    ).cid.alias("cluster"),
+                    F.slice(F.col("qf"), s * sub + 1, sub).alias("qs"),
                 )
-                .collect()
-            )
-            new = {
-                (int(r["s"]), int(r["cluster"])): [
-                    (int(r[f"s{i}"]) + int(r["cnt"]) * scale) // int(r["cnt"])
-                    - scale
-                    for i in range(sub)
-                ]
-                for r in upd
-            }
-            cents = [
-                [(cid, new.get((s, cid), c)) for cid, c in cents[s]]
                 for s in range(m)
             ]
-        code_exprs = [
-            best_for(F.slice(F.col("qf"), s * sub + 1, sub), cents[s])
-            .cid.cast("long")
-            .alias(f"code_{s}")
+        )
+        ex = qf.select(F.posexplode(per_sub).alias("s", "x")).select(
+            "s", "x.cluster", "x.qs"
+        )
+        upd = (
+            ex.groupBy("s", "cluster")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                *[F.sum(F.col("qs")[i]).alias(f"s{i}") for i in range(sub)],
+            )
+            .collect()
+        )
+        new = {
+            (int(r["s"]), int(r["cluster"])): [
+                (int(r[f"s{i}"]) + int(r["cnt"]) * scale) // int(r["cnt"])
+                - scale
+                for i in range(sub)
+            ]
+            for r in upd
+        }
+        cents = [
+            [(cid, new.get((s, cid), c)) for cid, c in cents[s]]
             for s in range(m)
         ]
-        return qf.select(id_col, *code_exprs)
-    finally:
-        qf.unpersist()
+    code_exprs = [
+        best_for(F.slice(F.col("qf"), s * sub + 1, sub), cents[s])
+        .cid.cast("long")
+        .alias(f"code_{s}")
+        for s in range(m)
+    ]
+    return qf.select(id_col, *code_exprs)
 
 
 def pq_codes_sql(

@@ -147,11 +147,14 @@ def fluency_buckets(
         .withColumn("_neg", -F.col("avg_prob_scaled"))
         .withColumn("_one", F.lit(1).cast("bigint"))
     )
-    s = s.cache()
-    try:
-        total = s.count()
-    finally:
-        s.unpersist()  # lazy handle stays valid for the plan below
+    # lazy checkpoint materialized by the count: the scoring pipeline
+    # (bigram explode + model joins) runs ONCE; the cumsum below walks
+    # the scored relation three times (range sampling, partition
+    # offsets, main branch) and reads persisted blocks each time. (A
+    # cache()/count()/unpersist() sequence here recomputed the scores
+    # per walk — the unpersist dropped the blocks before the plan ran.)
+    s = s.localCheckpoint(eager=False)
+    total = s.count()
     base, rem = total // n_buckets, total % n_buckets
     cut = rem * (base + 1)
     r = global_cumsum(s, ["_neg", id_col], "_one", out="_rank")
