@@ -1483,9 +1483,12 @@ def q_curation_pipeline(spark, sf_dir):
     )
     sampled = stratified_sample(scored, "text", "lang", _RATES, default_rate=0.05)
     bench = d.filter(F.expr(_BENCH_W))
-    corpus = sampled.filter(~F.expr(_BENCH_W))
+    # corpus feeds decontaminate AND the anti-join; clean feeds
+    # span_dedup AND the domain enrichment — lazy checkpoints so the
+    # score+sample pipeline runs once per stage, not once per consumer
+    corpus = sampled.filter(~F.expr(_BENCH_W)).localCheckpoint(eager=False)
     dirty = decontaminate(corpus, bench, "doc_id", "text", _NGRAM_DECON)
-    clean = corpus.join(dirty, "doc_id", "left_anti")
+    clean = corpus.join(dirty, "doc_id", "left_anti").localCheckpoint(eager=False)
     deduped = span_dedup(clean, "doc_id", "text", _SPAN)
     enriched = clean.select(
         "doc_id", "q",
@@ -3019,16 +3022,17 @@ def q_streaming_hll(spark, sf_dir):
         window="1 hour",
         p=_HLL_P,
     )
-    q = (
-        stream.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_parts(spark, src):
+        q = (
+            stream.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name).select(
         F.col("window.start").cast("timestamp_ntz").alias("hour"),
         "event_type",
@@ -4293,9 +4297,9 @@ def _synth_png_media(spark, sf_dir):
                 {"asset_id": pdf["doc_id"], "payload": payloads}
             )
 
-    return ids.repartition(8).mapInPandas(
-        gen, schema="asset_id long, payload binary"
-    )
+    return ids.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(gen, schema="asset_id long, payload binary")
 
 
 def q_phash_dups(spark, sf_dir):
@@ -4427,9 +4431,9 @@ def _synth_wav_media(spark, sf_dir):
                 {"asset_id": pdf["doc_id"], "payload": payloads}
             )
 
-    return ids.repartition(8).mapInPandas(
-        gen, schema="asset_id long, payload binary"
-    )
+    return ids.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(gen, schema="asset_id long, payload binary")
 
 
 def q_audio_dups(spark, sf_dir):
@@ -4796,17 +4800,18 @@ def q_streaming_sessionize(spark, sf_dir):
     stream = spark.readStream.schema(
         "user_id long, ts timestamp, value double"
     ).parquet(src)
-    q = (
-        sessionize_stream(stream, gap_minutes=30)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_parts(spark, src):
+        q = (
+            sessionize_stream(stream, gap_minutes=30)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     # the sentinel's own session may ALSO surface when the engine runs
     # a watermark-advance timeout batch — which sentinels time out
     # depends on the global max timestamp, so drop every session that
@@ -4966,12 +4971,16 @@ def q_lsh_recall(spark, sf_dir):
     signature filter). ONE summary row: n_true, n_cand, n_hit, and the
     integer recall_milli = n_hit*1000 div n_true."""
     d = _docs_doubled(spark, sf_dir)
+    # both pair relations feed TWO consumers each (their count aggregate
+    # and the semi-join) — lazy checkpoints make the expensive shingle /
+    # signature pipelines run once, not twice (Catalyst does not dedupe
+    # common subtrees; guide §1-2: don't compute things twice)
     truth = ngram_jaccard_pairs(
         d, "doc_id", "text", n=3, threshold=0.5
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
     cand = minhash_lsh_pairs(
         d, "doc_id", "text", num_perm=64, bands=16, threshold=0.0
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
     hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
     return (
         truth.agg(F.count(F.lit(1)).alias("n_true"))
@@ -5114,6 +5123,45 @@ _REV_C4 = f"{_CENTS} * (100 - {_DISC_C})"
 _Q3_DATE = "1998-06-01"
 
 
+class _stream_parts:
+    """Scale-adaptive stateful-shuffle sizing for the streaming REPLAY
+    queries (guide §2: derive partitioning from input size, not a
+    constant). AQE never touches streaming state exchanges, so they
+    inherit the batch ``spark.sql.shuffle.partitions`` (2×cores) — at
+    replay scale that is dozens of near-empty state-store instances
+    paying task + Arrow + store-maintenance overhead EVERY micro-batch
+    (measured: a 0-row watermark-advance batch cost 2.4 s at 64
+    partitions). Size the state exchange to the source bytes instead
+    (~4 MB parquet per state task, floor 4, capped at the session
+    default so larger inputs keep the configured parallelism).
+    Used as a context manager around stream start→stop; restores the
+    session conf afterwards (batch queries before/after are unaffected).
+    """
+
+    TARGET_BYTES = 4 << 20
+
+    def __init__(self, spark, src_dir: str):
+        import math
+        import os as _os
+
+        sz = sum(
+            _os.path.getsize(_os.path.join(src_dir, f))
+            for f in _os.listdir(src_dir)
+            if not f.startswith(("_", "."))
+        )
+        self._spark = spark
+        self._old = spark.conf.get("spark.sql.shuffle.partitions")
+        self.n = max(4, min(int(self._old), math.ceil(sz / self.TARGET_BYTES)))
+
+    def __enter__(self):
+        self._spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        return self
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
+        return False
+
+
 def q_streaming_dedup(spark, sf_dir):
     """GRADED STREAMING query #3: bounded-state first-seen dedup ACROSS
     micro-batches. The source dir holds the events file TWICE and
@@ -5140,18 +5188,19 @@ def q_streaming_dedup(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = (
-        dedup_stream(stream, ["event_id"], ts_col="ts", watermark="1 hour")
-        .select("event_id", "user_id", "event_type")
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_parts(spark, src):
+        q = (
+            dedup_stream(stream, ["event_id"], ts_col="ts", watermark="1 hour")
+            .select("event_id", "user_id", "event_type")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 

@@ -400,11 +400,20 @@ def phash_images_q(media: DataFrame) -> DataFrame:
     can regenerate the pre-encode plane instead of decoding)."""
 
     def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .png import decode_png_gray_batch, luma
+
         for pdf in it:
-            hashes = [
-                phash_plane_q(_decode_image(bytes(p), 32, 32))
-                for p in pdf["payload"]
-            ]
+            # batch path: unfilter every grey PNG in the batch in
+            # lockstep (h·w python steps per BATCH, not per image —
+            # guide §4.2); falls back per image on mixed payloads
+            planes = decode_png_gray_batch(list(pdf["payload"]))
+            if planes is not None:
+                hashes = [phash_plane_q(pl) for pl in planes]
+            else:
+                hashes = [
+                    phash_plane_q(_decode_image(bytes(p), 32, 32))
+                    for p in pdf["payload"]
+                ]
             yield pd.DataFrame(
                 {"asset_id": pdf["asset_id"],
                  "phash": pd.Series(hashes, dtype="int64")}

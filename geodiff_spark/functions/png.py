@@ -174,6 +174,109 @@ def decode_png(data: bytes) -> np.ndarray:
     return out if color == 0 else out.reshape(h, w, 3)
 
 
+def _parse_scanlines_gray(data: bytes) -> np.ndarray | None:
+    """PNG bytes -> (h, stride+1) raw filtered scanlines for 8-bit GREY
+    non-interlaced images, or None when the image is not that shape
+    (caller falls back to :func:`decode_png`). CRCs are checked exactly
+    like the scalar path."""
+    if data[:8] != PNG_MAGIC:
+        return None
+    pos = 8
+    ihdr = None
+    idat = []
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color != 0 or comp or filt or interlace:
+        return None
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (w + 1):
+        raise ValueError("scanline stream length mismatch")
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)
+
+
+def decode_png_gray_batch(payloads: list[bytes]) -> np.ndarray | None:
+    """Decode a batch of same-sized 8-bit GREY PNGs at once ->
+    (n, h, w) uint8, or None if any payload isn't that shape (caller
+    falls back to the scalar decoder per image).
+
+    Why: the Average/Paeth unfilters are inherently sequential per
+    pixel, so the scalar decoder pays h·w Python-loop iterations PER
+    IMAGE. Unfiltering the whole batch in lockstep pays the same h·w
+    iterations ONCE for all n images, with every step an n-wide numpy
+    op — the mapInPandas batching pattern of the optimization guide
+    (§4.2: hand whole batches to vectorized native code). Bit-identical
+    to decode_png by construction (same arithmetic, mod-256 int16)."""
+    mats = []
+    shape = None
+    for p in payloads:
+        m = _parse_scanlines_gray(bytes(p))
+        if m is None:
+            return None
+        if shape is None:
+            shape = m.shape
+        elif m.shape != shape:
+            return None
+        mats.append(m)
+    if not mats:
+        return np.zeros((0, 0, 0), dtype=np.uint8)
+    rows = np.stack(mats)  # (n, h, w+1)
+    n, h, w1 = rows.shape
+    w = w1 - 1
+    out = np.zeros((n, h, w), dtype=np.int16)
+    prev = np.zeros((n, w), dtype=np.int16)
+    for r in range(h):
+        ft = rows[:, r, 0]
+        cur = rows[:, r, 1:].astype(np.int16)
+        res = np.empty((n, w), dtype=np.int16)
+        m0 = ft == 0
+        if m0.any():
+            res[m0] = cur[m0]
+        m1 = ft == 1
+        if m1.any():
+            res[m1] = np.cumsum(cur[m1].astype(np.int64), axis=1) % 256
+        m2 = ft == 2
+        if m2.any():
+            res[m2] = (cur[m2] + prev[m2]) % 256
+        m3, m4 = ft == 3, ft == 4
+        if m3.any() or m4.any():
+            mseq = m3 | m4
+            sub_cur = cur[mseq]
+            sub_prev = prev[mseq]
+            sub_is4 = m4[mseq]
+            sub = np.zeros_like(sub_cur)
+            zero = np.zeros(sub_cur.shape[0], dtype=np.int16)
+            for x in range(w):
+                a = sub[:, x - 1] if x else zero
+                b = sub_prev[:, x]
+                c = sub_prev[:, x - 1] if x else zero
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                paeth = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+                pred = np.where(sub_is4, paeth, (a + b) >> 1)
+                sub[:, x] = (sub_cur[:, x] + pred) % 256
+            res[mseq] = sub
+        if ((ft > 4)).any():
+            raise ValueError("bad filter byte in batch")
+        out[:, r] = res
+        prev = res
+    return out.astype(np.uint8)
+
+
 def luma(img: np.ndarray) -> np.ndarray:
     """(h,w) passthrough or integer BT.601 luma of (h,w,3) — exact,
     deterministic (no float rounding drift)."""

@@ -84,6 +84,9 @@ def span_dedup(
     ex = (
         df.select(F.col(id_col), chunks.alias("chunks"))
         .select(id_col, F.posexplode("chunks").alias("pos", "chunk"))
+        # feeds the first-occurrence aggregate AND the keep join — lazy
+        # checkpoint so tokenize+chunk+explode runs once, not twice
+        .localCheckpoint(eager=False)
     )
     # global first occurrence per chunk: one shuffle, min over a packed
     # (doc_id, pos) key — no window needed, no skew (chunk values are
@@ -207,7 +210,7 @@ def repeated_spans(
     ).otherwise(F.array().cast("array<string>"))
     ex = df.select(F.col(id_col), wins.alias("wins")).select(
         id_col, F.posexplode("wins").alias("pos", "win")
-    )
+    ).localCheckpoint(eager=False)  # feeds freq AND the dup semi-join
     freq = ex.groupBy("win").agg(F.count(F.lit(1)).alias("_n"))
     dup = ex.join(freq.filter(F.col("_n") >= 2).select("win"), "win", "left_semi")
     byd = Window.partitionBy(id_col).orderBy("pos")
@@ -249,7 +252,12 @@ def global_cumsum(
     local = Window.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    d = d.withColumn("_lcum", F.sum(value_col).over(local))
+    # the locally-cumsummed relation feeds the offsets aggregate AND the
+    # final join — lazy checkpoint so the range shuffle + local window
+    # run once, not twice
+    d = d.withColumn("_lcum", F.sum(value_col).over(local)).localCheckpoint(
+        eager=False
+    )
     offs = (
         d.groupBy("_pid")
         .agg(F.max("_lcum").alias("_tot"))

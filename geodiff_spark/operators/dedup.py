@@ -372,6 +372,12 @@ def minhash_sig_pairs(
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
     rows_per_band = num_perm // bands
+    # the banded relation self-joins below: without a lineage cut both
+    # join sides recompute the signature pipeline (pandas-UDF minhash or
+    # the group-minhash aggregation) — checkpoint so it runs ONCE and
+    # each side reads the persisted blocks (guide §4: pay the Python
+    # boundary once, not per consumer)
+    sig = sig.localCheckpoint(eager=False)
     banded = sig.select(
         id_col,
         "sig",
@@ -476,7 +482,11 @@ def simhash_pairs(
     cross join."""
     width = 64 // chunks
     df = _spread_input(df, id_col)
-    sh = df.select(F.col(id_col), simhash_udf()(F.col(text_col)).alias("sh"))
+    # checkpoint before the banded self-join so the simhash pandas UDF
+    # runs once per doc, not once per join side
+    sh = df.select(
+        F.col(id_col), simhash_udf()(F.col(text_col)).alias("sh")
+    ).localCheckpoint(eager=False)
     banded = sh.select(
         id_col,
         "sh",

@@ -50,9 +50,11 @@ def pagerank_fp(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
-        eager=False
-    )
+    # fold the out-degree onto the edge list ONCE (loop invariant): each
+    # iteration then pays one join instead of two (guide §2.4 — the
+    # degree join repeated per round shares no work across rounds)
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e_deg = e.join(outdeg, "src").localCheckpoint(eager=False)
 
     n_nodes = n.count()  # one scalar action; the iteration loop itself
     # runs no driver-side data collection
@@ -62,8 +64,7 @@ def pagerank_fp(
     ranks = n.withColumn("r", F.lit(init).cast("long"))
     for _ in range(iters):
         contrib = (
-            e.join(ranks.withColumnRenamed(node_col, "src"), "src")
-            .join(outdeg, "src")
+            e_deg.join(ranks.withColumnRenamed(node_col, "src"), "src")
             # `div` = exact int64 division (NOT `/`, which goes through
             # float and can misround large quotients)
             .select("dst", F.expr("r div deg").alias("share"))

@@ -62,8 +62,13 @@ def bigram_lm_scores(
     score_scaled / (n_bigrams * scale) is the avg conditional
     probability (driver-side presentation). Docs with < 2 tokens emit
     no row (they have no bigrams to score)."""
-    bg = bigram_rows(df, id_col, text_col)
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # bg feeds the model and the probe join, c12 feeds c1 and the model
+    # projection — lazy checkpoints: tokenize+explode and the (w1, w2)
+    # count shuffle each run once, not once per consumer
+    bg = bigram_rows(df, id_col, text_col).localCheckpoint(eager=False)
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).localCheckpoint(
+        eager=False
+    )
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     model = c12.join(c1, "w1").select(
         "w1", "w2", F.expr(f"CAST((c12 * {scale}) DIV c1 AS BIGINT)").alias("_p")
@@ -237,11 +242,17 @@ def dsir_weights(
     keys, handled by AQE skew-join; V is a 1-row broadcast. No step
     touches corpus × corpus.
     """
-    bg_s = bigram_rows(source, id_col, text_col)
+    # the source bigram stream feeds its own LM *and* the probe join,
+    # and each c12 model feeds (c1, vocab, probe) — lazy checkpoints so
+    # the tokenize+explode and the model groupBys run ONCE per corpus
+    # instead of once per consumer (Catalyst does not dedupe subtrees)
+    bg_s = bigram_rows(source, id_col, text_col).localCheckpoint(eager=False)
     bg_t = bigram_rows(target, id_col, text_col)
 
     def model(bg):
-        c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+        c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).localCheckpoint(
+            eager=False
+        )
         c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
         return c12, c1
 
@@ -542,8 +553,11 @@ def bpe_train(
     # (TakeOrdered), so without checkpoints round r would lazily replay
     # every earlier fold — O(rounds^2) work and a codegen tower. With
     # them each round runs exactly once (same discipline as the
-    # iterative graph operators).
-    state = state.localCheckpoint()
+    # iterative graph operators). LAZY since r06: the winner's
+    # TakeOrderedAndProject reads every partition, materializing the
+    # round's state blocks in the same job — an eager checkpoint spent
+    # one extra job per round walking identical data.
+    state = state.localCheckpoint(eager=False)
     winners = []
     for r in range(1, n_merges + 1):
         counts = (
@@ -560,7 +574,9 @@ def bpe_train(
                 F.element_at(F.split(F.col("pr"), US), 2).alias("right_tok"),
                 F.col("cnt"),
             )
-            .localCheckpoint()
+            # lazy: the next round's broadcast build (or the final
+            # union) is the materializing action for this 1-row winner
+            .localCheckpoint(eager=False)
         )
         winners.append(win)
         if r < n_merges:
@@ -573,7 +589,7 @@ def bpe_train(
             ).select(
                 "freq",
                 _merge_fold(F.col("seq"), F.col("_lt"), F.col("_rt")).alias("seq"),
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
     out = winners[0]
     for w in winners[1:]:
         out = out.unionByName(w)

@@ -141,8 +141,10 @@ def _insert_mapping_df(
     :func:`_global_rank`, so even a collision set the size of ALL
     inserts never funnels through one task.
     """
-    t = theirs_ins_fids.distinct()
-    o = ours_ins_fids.distinct()
+    # each distinct fid set feeds 2-3 consumers (semi/anti joins, max
+    # aggregate) — lazy checkpoints run the dedup shuffles once
+    t = theirs_ins_fids.distinct().localCheckpoint(eager=False)
+    o = ours_ins_fids.distinct().localCheckpoint(eager=False)
     stats = t.agg(F.max("fid").alias("_mx"))  # 1 row; null _mx if no inserts
 
     coll = _global_rank(o.join(t, "fid", "left_semi"))
@@ -181,9 +183,11 @@ def _global_rank(df: DataFrame, out: str = "_rn") -> DataFrame:
     d = df.repartitionByRange(p, "fid").withColumn(
         "_pid", F.spark_partition_id()
     )
+    # feeds the offsets aggregate AND the final join — lazy checkpoint
+    # so the range shuffle + local rank window run once, not twice
     d = d.withColumn(
         "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy("fid"))
-    )
+    ).localCheckpoint(eager=False)
     offs = (
         d.groupBy("_pid")
         .agg(F.max("_lrn").alias("_cnt"))

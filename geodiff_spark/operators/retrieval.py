@@ -527,6 +527,10 @@ def group_topk_refresh(
     og_c, ng_c = f"old_{group_col}", f"new_{group_col}"
     nv_c, npk_c, opk_c = f"new_{val_col}", f"new_{pk_col}", f"old_{pk_col}"
 
+    # the changeset feeds four op-filtered consumers — lazy checkpoint
+    # so an expensive upstream (e.g. a diff_table full-outer join) runs
+    # once, not once per consumer
+    cs = cs.localCheckpoint(eager=False)
     ins = cs.filter(F.col("op") == "insert").select(
         F.col(npk_c).alias(pk_col),
         F.col(ng_c).alias(group_col),
@@ -550,6 +554,8 @@ def group_topk_refresh(
         F.coalesce("_nv", val_col).alias("_v_new"),
         F.col(group_col).alias("_g_old"),
     )
+    # consumed by two touched-group projections and the state union
+    upd_full = upd_full.localCheckpoint(eager=False)
     touched = (
         ins.select(F.col(group_col).alias("_g"))
         .unionByName(dels)

@@ -218,7 +218,10 @@ def cosine_dup_pairs(
     else:
         sig = sign_signature_udf(dim, n_planes, seed)
         width = n_planes // bands
-        s = v.withColumn("_sig", sig(F.col(vec_col))).select(
+        # checkpoint the signed vectors before the banded self-join so
+        # the signature UDF runs once per vector, not once per join side
+        v = v.withColumn("_sig", sig(F.col(vec_col))).localCheckpoint(eager=False)
+        s = v.select(
             "*",
             F.explode(
                 F.array(
@@ -325,6 +328,32 @@ def ivf_assign(
         "_csim",
         dot_expr(F.col(vec_col), F.col("_cvec")) * F.col("_inv") * F.col("_cinv"),
     )
+    if nprobe == 1:
+        # argmax as ONE map-side-combining aggregate instead of a
+        # row_number window: the broadcast-nested-loop join emits each
+        # vector's |centroids| candidate rows contiguously, so the
+        # partial aggregate collapses them to one row per vector BEFORE
+        # the exchange — the shuffle carries n rows, not n×lists, and
+        # the window sort disappears (guide §2.3 "aggregate before you
+        # shuffle"). max(struct(_csim, -_cid, ...)) picks the same row
+        # as (csim desc, cid asc): csim first, then the smaller cid —
+        # cid is unique, so the trailing payload fields never compare.
+        m = scored.groupBy(id_col).agg(
+            F.max(
+                F.struct(
+                    F.col("_csim"),
+                    (-F.col("_cid")).alias("_ncid"),
+                    F.col(vec_col).alias("_vec"),
+                    F.col("_inv").alias("_innorm"),
+                )
+            ).alias("_m")
+        )
+        return m.select(
+            id_col,
+            F.col("_m._vec").alias(vec_col),
+            F.col("_m._innorm").alias("_inv"),
+            (-F.col("_m._ncid")).alias("cluster"),
+        )
     w = Window.partitionBy(id_col).orderBy(
         F.col("_csim").desc(), F.col("_cid").asc()
     )

@@ -149,7 +149,12 @@ def kring_np(cell: np.ndarray, k: int) -> np.ndarray:
 # pandas UDFs (Arrow-vectorized; the north-rule kernel surface)
 # --------------------------------------------------------------------------
 
-def cell_udf(lat: Column, lon: Column, res: int) -> Column:
+def cell_pandas_udf(lat: Column, lon: Column, res: int) -> Column:
+    """The Arrow-vectorized numpy encode (kept for three-way parity
+    tests and as the kernel reference; hot paths use the bit-identical
+    JVM expression below — guide §4.1: built-ins over the Python
+    boundary)."""
+
     @F.pandas_udf(T.LongType())
     def _enc(la: pd.Series, lo: pd.Series) -> pd.Series:
         return pd.Series(encode_np(la.to_numpy(np.float64), lo.to_numpy(np.float64), res))
@@ -157,7 +162,18 @@ def cell_udf(lat: Column, lon: Column, res: int) -> Column:
     return _enc(lat, lon)
 
 
-def parent_udf(cell: Column, parent_res: int) -> Column:
+def cell_udf(lat: Column, lon: Column, res: int) -> Column:
+    """Cell encode for hot query paths. Since round 6 this returns the
+    whole-stage-codegen JVM expression (bit-identical to the numpy
+    kernel — tests/test_spatial.py asserts all three implementations
+    agree), eliminating the ArrowEvalPython hop the pandas UDF paid per
+    batch. The vectorized kernel remains as :func:`cell_pandas_udf`."""
+    return cell_expr(lat, lon, res)
+
+
+def parent_pandas_udf(cell: Column, parent_res: int) -> Column:
+    """Arrow-vectorized parent kernel (parity-test reference)."""
+
     @F.pandas_udf(T.LongType())
     def _par(c: pd.Series) -> pd.Series:
         # null-safe: masked rows (e.g. Undefined changeset values) pass
@@ -169,6 +185,33 @@ def parent_udf(cell: Column, parent_res: int) -> Column:
         return out
 
     return _par(cell)
+
+
+def parent_udf(cell: Column, parent_res: int) -> Column:
+    """Parent rollup for hot query paths — JVM expression since round 6
+    (bit-identical to :func:`parent_np`; ArrowEvalPython removed). No
+    decode is needed: with m = morton bits, spread(x >> s) ==
+    (spread(x) >> 2s) & M1 (the pyramid_rollup identity), so the parent
+    is three shifts + masks on the raw cell id, with the per-row
+    resolution read from the header bits. Null inputs stay null (the
+    expression propagates); parent_res must be <= the cell's res, as
+    with the numpy kernel."""
+    res_c = F.shiftright(cell, RES_SHIFT).bitwiseAND(F.lit(0x1F))
+    # per-row shift amount -> the SQL shiftright builtin (the PySpark
+    # wrapper only takes a literal int)
+    shift2 = ((res_c - F.lit(parent_res)) * 2).cast("int")
+    m = cell.bitwiseAND(F.lit(MORTON_MASK))
+    sx = F.call_function(
+        "shiftright", m.bitwiseAND(F.lit(_M1)), shift2
+    ).bitwiseAND(F.lit(_M1))
+    sy = F.call_function(
+        "shiftright", F.shiftright(m, 1).bitwiseAND(F.lit(_M1)), shift2
+    ).bitwiseAND(F.lit(_M1))
+    return (
+        F.lit(MODE_BIT | (parent_res << RES_SHIFT))
+        .bitwiseOR(sx)
+        .bitwiseOR(F.shiftleft(sy, 1))
+    )
 
 
 def kring_udf(cell: Column, k: int) -> Column:

@@ -5,7 +5,12 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from geodiff_spark.functions.png import decode_png, encode_png, luma
+from geodiff_spark.functions.png import (
+    decode_png,
+    decode_png_gray_batch,
+    encode_png,
+    luma,
+)
 
 
 @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
@@ -17,6 +22,27 @@ def test_png_roundtrip_all_filters(filter_type, shape):
     assert data[:8] == b"\x89PNG\r\n\x1a\n"
     back = decode_png(data)
     np.testing.assert_array_equal(back, arr)
+
+
+def test_png_batch_decoder_matches_scalar():
+    """The lockstep batch unfilter (r06 phash fast path) must be
+    bit-identical to decode_png across every filter type, including a
+    mixed-filter batch."""
+    rng = np.random.default_rng(42)
+    planes = [rng.integers(0, 256, (32, 32), dtype=np.uint8) for _ in range(10)]
+    payloads = [
+        encode_png(pl, filter_type=i % 5) for i, pl in enumerate(planes)
+    ]
+    batch = decode_png_gray_batch(payloads)
+    assert batch.shape == (10, 32, 32)
+    for i, pl in enumerate(planes):
+        np.testing.assert_array_equal(batch[i], decode_png(payloads[i]))
+        np.testing.assert_array_equal(batch[i], pl)
+
+
+def test_png_batch_decoder_falls_back_on_rgb():
+    rgb = np.zeros((4, 4, 3), dtype=np.uint8)
+    assert decode_png_gray_batch([encode_png(rgb)]) is None
 
 
 def test_png_crc_detects_corruption():

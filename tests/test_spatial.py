@@ -9,12 +9,14 @@ from pyspark.sql import functions as F
 
 from geodiff_spark.spatial.cells import (
     cell_expr,
+    cell_pandas_udf,
     cell_udf,
     decode_np,
     encode_np,
     kring_np,
     kring_udf,
     parent_np,
+    parent_pandas_udf,
     parent_udf,
 )
 from geodiff_spark.spatial.knn import knn_join
@@ -46,24 +48,32 @@ def pts(spark):
 
 
 def test_udf_expr_parity(spark, pts):
-    """pandas-UDF kernel == JVM expression, per row."""
+    """pandas-UDF kernel == JVM expression, per row (cell_udf itself is
+    the JVM expression since r06 — the numpy kernel stays covered via
+    cell_pandas_udf)."""
     df, _ = pts
     res = 9
     out = df.select(
-        cell_udf(F.col("lat"), F.col("lon"), res).alias("a"),
+        cell_pandas_udf(F.col("lat"), F.col("lon"), res).alias("a"),
         cell_expr(F.col("lat"), F.col("lon"), res).alias("b"),
+        cell_udf(F.col("lat"), F.col("lon"), res).alias("c"),
     )
-    assert out.filter(F.col("a") != F.col("b")).count() == 0
+    assert out.filter(
+        (F.col("a") != F.col("b")) | (F.col("a") != F.col("c"))
+    ).count() == 0
 
 
 def test_parent_udf(spark, pts):
     df, pdf = pts
     out = df.select(
-        "pid", parent_udf(cell_udf(F.col("lat"), F.col("lon"), 10), 4).alias("p")
+        "pid",
+        parent_udf(cell_udf(F.col("lat"), F.col("lon"), 10), 4).alias("p"),
+        parent_pandas_udf(cell_udf(F.col("lat"), F.col("lon"), 10), 4).alias("pp"),
     ).toPandas()
     expected = parent_np(encode_np(pdf["lat"].values, pdf["lon"].values, 10), 4)
     got = out.sort_values("pid")["p"].to_numpy()
     assert (got == expected).all()
+    assert (out.sort_values("pid")["pp"].to_numpy() == expected).all()
 
 
 def _pip_oracle(px, py, ring):
