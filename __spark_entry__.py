@@ -1148,9 +1148,10 @@ FROM ({_BASE_SQL})
 
 
 def q_kring(spark, sf_dir):
-    """k-ring expansion (kring_udf) for the nation query points at res 5,
-    k=2 — the cell-neighborhood kernel itself, oracle-checked."""
-    from geodiff_spark.spatial.cells import kring_udf
+    """k-ring expansion for the nation query points at res 5, k=2 — the
+    cell-neighborhood kernel itself, oracle-checked (JVM ring explode
+    since r06; same cell set as the pandas kernel)."""
+    from geodiff_spark.spatial.cells import kring_explode
 
     q = (
         spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -1162,9 +1163,7 @@ def q_kring(spark, sf_dir):
         )
     )
     cells = q.withColumn("c", cell_udf(F.col("qlat"), F.col("qlon"), 5))
-    return cells.select(
-        "qid", F.explode(F.array_distinct(kring_udf(F.col("c"), 2))).alias("cell")
-    )
+    return kring_explode(cells, "c", 2, 5).select("qid", "cell")
 
 
 def _kring_sql():
@@ -2928,7 +2927,7 @@ def q_focal_mean(spark, sf_dir):
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("value"))
     )
-    return focal_stats(raster, k=1)
+    return focal_stats(raster, k=1, res=_FOCAL_RES)
 
 
 def _focal_mean_sql():
@@ -3386,7 +3385,7 @@ def q_spatial_autocorr(spark, sf_dir):
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("value"))
     )
-    return autocorr_stats(raster, k=1)
+    return autocorr_stats(raster, k=1, res=_FOCAL_RES)
 
 
 def _spatial_autocorr_sql():
@@ -4431,9 +4430,13 @@ def _synth_wav_media(spark, sf_dir):
                 {"asset_id": pdf["doc_id"], "payload": payloads}
             )
 
-    return ids.repartition(
-        spark.sparkContext.defaultParallelism
-    ).mapInPandas(gen, schema="asset_id long, payload binary")
+    # cheap per-row kernel (WAV synth + energy fingerprint): a narrow
+    # fixed width amortizes Python-worker startup; the wide split only
+    # pays off for the heavy PNG-decode path (measured 2x regression at
+    # defaultParallelism here)
+    return ids.repartition(8).mapInPandas(
+        gen, schema="asset_id long, payload binary"
+    )
 
 
 def q_audio_dups(spark, sf_dir):

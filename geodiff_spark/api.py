@@ -103,13 +103,26 @@ def rebase(
         n: type(t)(info=t.info, df=persist_tracked(t.df))
         for n, t in create_changeset(base, theirs).items()
     }
-    if not has_changes(base2theirs):
-        return ours, {}
     base2ours = {
         n: type(t)(info=t.info, df=persist_tracked(t.df))
         for n, t in create_changeset(base, ours).items()
     }
-    if not has_changes(base2ours):
+    # the two has_changes probes are independent Spark actions over
+    # independent diffs — run them concurrently so the second probe's
+    # tasks back-fill executors freed by the first's tail (guide §2.6).
+    # Early-exit contract is unchanged: results are consumed in the
+    # same order, and a probe whose result goes unused on an early
+    # exit is simply discarded (its diff was always built lazily).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_theirs = pool.submit(has_changes, base2theirs)
+        f_ours = pool.submit(has_changes, base2ours)
+        theirs_changed = f_theirs.result()
+        ours_changed = f_ours.result() if theirs_changed else False
+    if not theirs_changed:
+        return ours, {}
+    if not ours_changed:
         final = apply_changeset(ours.tables, base2theirs)
         return Dataset(tables=final, infos=ours.infos), {}
 

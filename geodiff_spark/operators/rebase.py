@@ -142,9 +142,11 @@ def _insert_mapping_df(
     inserts never funnels through one task.
     """
     # each distinct fid set feeds 2-3 consumers (semi/anti joins, max
-    # aggregate) — lazy checkpoints run the dedup shuffles once
-    t = theirs_ins_fids.distinct().localCheckpoint(eager=False)
-    o = ours_ins_fids.distinct().localCheckpoint(eager=False)
+    # aggregate) — tracked persists run the dedup shuffles once and are
+    # released by the caller's cache_scope (localCheckpoint blocks would
+    # outlive the scope and accrete storage across a rebase loop)
+    t = persist_tracked(theirs_ins_fids.distinct())
+    o = persist_tracked(ours_ins_fids.distinct())
     stats = t.agg(F.max("fid").alias("_mx"))  # 1 row; null _mx if no inserts
 
     coll = _global_rank(o.join(t, "fid", "left_semi"))
@@ -183,11 +185,15 @@ def _global_rank(df: DataFrame, out: str = "_rn") -> DataFrame:
     d = df.repartitionByRange(p, "fid").withColumn(
         "_pid", F.spark_partition_id()
     )
-    # feeds the offsets aggregate AND the final join — lazy checkpoint
+    # feeds the offsets aggregate AND the final join — tracked persist
     # so the range shuffle + local rank window run once, not twice
-    d = d.withColumn(
-        "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy("fid"))
-    ).localCheckpoint(eager=False)
+    # (scope-released; see _insert_mapping_df)
+    d = persist_tracked(
+        d.withColumn(
+            "_lrn",
+            F.row_number().over(Window.partitionBy("_pid").orderBy("fid")),
+        )
+    )
     offs = (
         d.groupBy("_pid")
         .agg(F.max("_lrn").alias("_cnt"))

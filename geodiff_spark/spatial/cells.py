@@ -267,6 +267,56 @@ def cell_expr(lat: Column, lon: Column, res: int) -> Column:
     )
 
 
+def _compact_expr(v: Column, bits: int = 32) -> Column:
+    """JVM twin of :func:`_compact_np` (Morton bit-gather). Same
+    identity-stage elision as _spread_expr: for inputs whose gathered
+    value fits in ``bits`` bits, stages with shift >= bits are
+    identities and are dropped."""
+    v = v.bitwiseAND(F.lit(_M1))
+    for s, mask in ((1, _M2), (2, _M4), (4, _M8), (8, _M16), (16, 0xFFFFFFFF)):
+        if s < bits:
+            v = (v.bitwiseOR(F.shiftright(v, s))).bitwiseAND(F.lit(mask))
+    return v
+
+
+def kring_explode(df, cell_col: str, k: int, res: int, out_col: str = "cell"):
+    """JVM twin of ``withColumn(out, explode(array_distinct(
+    kring_udf(cell, k))))`` for a STATIC, homogeneous resolution —
+    the pandas k-ring was the one Python boundary in the kNN/focal
+    join pipelines (guide §4.1). Emits the same (2k+1)²-bounded cell
+    set per row: longitude wraps (pmod), latitude CLAMP duplicates are
+    realized by dropping out-of-range dy rows instead — the clamped
+    value always coincides with an in-range row's value, so the
+    resulting set is identical to the clamp+array_distinct kernel.
+    The double explode keeps the codegen tree O(1) in k; the grid
+    coords are staged as columns so the spread trees reference cheap
+    attributes. Requires 2k+1 <= 2^res (asserted) so wrap can't
+    duplicate either."""
+    n = 1 << res
+    if 2 * k + 1 > n:
+        raise ValueError(f"ring {k} covers the whole {n}-cell axis")
+    m = F.col(cell_col).bitwiseAND(F.lit(MORTON_MASK))
+    staged = df.withColumns(
+        {
+            "_kx": _compact_expr(m, res),
+            "_ky": _compact_expr(F.shiftright(m, 1), res),
+        }
+    )
+    head = F.lit(MODE_BIT | (res << RES_SHIFT))
+    ny = F.col("_ky") + F.col("_dy")
+    nx = F.pmod(F.col("_kx") + F.col("_dx"), F.lit(n))
+    cell = head.bitwiseOR(_spread_expr(nx, res)).bitwiseOR(
+        F.shiftleft(_spread_expr(ny, res), 1)
+    )
+    return (
+        staged.withColumn("_dx", F.explode(F.sequence(F.lit(-k), F.lit(k))))
+        .withColumn("_dy", F.explode(F.sequence(F.lit(-k), F.lit(k))))
+        .filter((ny >= 0) & (ny <= n - 1))
+        .withColumn(out_col, cell)
+        .drop("_kx", "_ky", "_dx", "_dy")
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB SQL text (oracle parity)
 # --------------------------------------------------------------------------

@@ -40,31 +40,7 @@ import math
 from pyspark.sql import DataFrame, functions as F
 
 from ..operators.cluster import connected_components
-from .cells import MODE_BIT, RES_SHIFT, _spread_expr, cell_expr, xy_expr
-
-
-def _kring_cells_expr(res: int, ring: int):
-    """JVM twin of ``array_distinct(kring_udf(cell_expr(lat, lon, res),
-    ring))`` for STATIC res — operates on staged integer grid columns
-    ``_x``/``_y`` (no decode, no Python boundary; same wrap/clamp
-    semantics as cells.kring_np, bit-identical cells). Guide §4.1:
-    built-ins over pandas UDFs."""
-    n = 1 << res
-    head = F.lit(MODE_BIT | (res << RES_SHIFT))
-    cells = []
-    for dx in range(-ring, ring + 1):
-        for dy in range(-ring, ring + 1):
-            nx = F.pmod(F.col("_x") + F.lit(dx), F.lit(n))
-            ny = F.least(
-                F.greatest(F.col("_y") + F.lit(dy), F.lit(0).cast("long")),
-                F.lit(n - 1).cast("long"),
-            )
-            cells.append(
-                head.bitwiseOR(_spread_expr(nx, res)).bitwiseOR(
-                    F.shiftleft(_spread_expr(ny, res), 1)
-                )
-            )
-    return F.array_distinct(F.array(*cells))
+from .cells import cell_expr, kring_explode
 
 
 def eps_pairs(
@@ -83,23 +59,20 @@ def eps_pairs(
     base = points.select(
         F.col(id_col), F.col(lat_col).alias("_lat"), F.col(lon_col).alias("_lon")
     )
-    # stage the integer grid coords as real columns so the per-neighbor
-    # spread trees reference cheap attributes (codegen stays linear),
-    # then build the (2r+1)² ring cells as pure JVM expressions — the
-    # pandas-UDF k-ring this replaces was the only Python boundary in
-    # the DBSCAN pipeline (ArrowEvalPython removed; guide §4.1)
-    xx, yy = xy_expr(F.col("_lat"), F.col("_lon"), res)
-    left = (
-        base.select(
-            F.col(id_col), "_lat", "_lon", xx.alias("_x"), yy.alias("_y")
-        )
-        .withColumn("cell", F.explode(_kring_cells_expr(res, ring)))
-        .select(
-            F.col(id_col).alias("ia"),
-            F.col("_lat").alias("alat"),
-            F.col("_lon").alias("alon"),
-            "cell",
-        )
+    # JVM double-explode ring (cells.kring_explode): the pandas-UDF
+    # k-ring this replaces was the only Python boundary in the DBSCAN
+    # pipeline (ArrowEvalPython removed; guide §4.1). The double
+    # explode keeps the ring codegen O(1) in ring size — a literal
+    # (2r+1)²-expression array on the join's STREAMED side knocked the
+    # whole join stage out of whole-stage codegen (measured 4× slower).
+    left = kring_explode(
+        base.withColumn("_c0", cell_expr(F.col("_lat"), F.col("_lon"), res)),
+        "_c0", ring, res,
+    ).select(
+        F.col(id_col).alias("ia"),
+        F.col("_lat").alias("alat"),
+        F.col("_lon").alias("alon"),
+        "cell",
     )
     right = base.select(
         F.col(id_col).alias("ib"),

@@ -2,7 +2,7 @@
 
 Plan shape (SURVEY.md §2.3 extension row):
 
-    queries --kring_udf--> explode(cells)      (|Q| × (2k+1)^2 rows)
+    queries --JVM k-ring--> explode(cells)      (|Q| × (2k+1)^2 rows)
     points  --cell------->                      (encoded once)
           equi-join on cell                     (broadcast Q side when
                                                  small; SMJ at scale)
@@ -25,7 +25,7 @@ import functools
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .cells import cell_expr, kring_udf
+from .cells import cell_expr, kring_explode
 
 
 def knn_join(
@@ -44,9 +44,12 @@ def knn_join(
     broadcast_queries: bool = True,
 ) -> DataFrame:
     """-> (qid, <point id>, dist_sq, rank) with rank ∈ [1, k]."""
-    q = queries.withColumn(
-        "_qcell", cell_expr(F.col(q_lat_col), F.col(q_lon_col), res)
-    ).withColumn("cell", F.explode(F.array_distinct(kring_udf(F.col("_qcell"), ring))))
+    q = kring_explode(
+        queries.withColumn(
+            "_qcell", cell_expr(F.col(q_lat_col), F.col(q_lon_col), res)
+        ),
+        "_qcell", ring, res,
+    )
     if broadcast_queries:
         q = F.broadcast(q)
 
@@ -176,9 +179,12 @@ def radius_join(
 
     cell_h = 180.0 / (1 << res)
     ring = max(1, math.ceil(radius / cell_h))
-    q = queries.withColumn(
-        "_qcell", cell_expr(F.col(q_lat_col), F.col(q_lon_col), res)
-    ).withColumn("cell", F.explode(F.array_distinct(kring_udf(F.col("_qcell"), ring))))
+    q = kring_explode(
+        queries.withColumn(
+            "_qcell", cell_expr(F.col(q_lat_col), F.col(q_lon_col), res)
+        ),
+        "_qcell", ring, res,
+    )
     if broadcast_queries:
         q = F.broadcast(q)
     p = points.withColumn("cell", cell_expr(F.col(lat_col), F.col(lon_col), res))

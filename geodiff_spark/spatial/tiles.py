@@ -188,6 +188,7 @@ def focal_stats(
     k: int = 1,
     cell_col: str = "cell",
     value_col: str = "value",
+    res: int | None = None,
 ) -> DataFrame:
     """Focal (neighborhood) statistics over a sparse raster — the map-
     algebra smoothing/aggregation primitive (focal mean elevation, k-
@@ -205,12 +206,20 @@ def focal_stats(
     (lon wraps mod n on both sides; lat clamp only shrinks the ring at
     the pole rows), so scatter-to-ring == gather-from-ring exactly.
     """
-    from .cells import kring_udf
+    from .cells import kring_explode, kring_udf
 
-    contrib = raster.select(
-        F.explode(F.array_distinct(kring_udf(F.col(cell_col), k))).alias(cell_col),
-        F.col(value_col).alias("_v"),
-    )
+    if res is not None:
+        # static, homogeneous resolution: pure-JVM ring explode (no
+        # Python boundary; bit-identical set — see cells.kring_explode)
+        contrib = kring_explode(
+            raster.select(F.col(cell_col).alias("_c0"), F.col(value_col).alias("_v")),
+            "_c0", k, res, out_col=cell_col,
+        ).select(cell_col, "_v")
+    else:
+        contrib = raster.select(
+            F.explode(F.array_distinct(kring_udf(F.col(cell_col), k))).alias(cell_col),
+            F.col(value_col).alias("_v"),
+        )
     folded = contrib.groupBy(cell_col).agg(
         F.sum("_v").alias("focal_sum"), F.count(F.lit(1)).alias("focal_n")
     )
@@ -223,6 +232,7 @@ def autocorr_stats(
     k: int = 1,
     cell_col: str = "cell",
     value_col: str = "value",
+    res: int | None = None,
 ) -> DataFrame:
     """Sufficient statistics for spatial autocorrelation (Moran's I /
     Geary's C with binary Chebyshev-``k`` ring weights) over a sparse
@@ -238,7 +248,7 @@ def autocorr_stats(
     v_a · (focal_sum_a − v_a), i.e. WITHOUT materializing pairs at
     all; the global fold is a single scalar aggregation.
     """
-    f = focal_stats(raster, k=k, cell_col=cell_col, value_col=value_col)
+    f = focal_stats(raster, k=k, cell_col=cell_col, value_col=value_col, res=res)
     v = F.col(value_col)
     return f.agg(
         F.count(F.lit(1)).alias("n_cells"),
