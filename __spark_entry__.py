@@ -4974,16 +4974,18 @@ def q_lsh_recall(spark, sf_dir):
     signature filter). ONE summary row: n_true, n_cand, n_hit, and the
     integer recall_milli = n_hit*1000 div n_true."""
     d = _docs_doubled(spark, sf_dir)
-    # both pair relations feed TWO consumers each (their count aggregate
-    # and the semi-join) — lazy checkpoints make the expensive shingle /
-    # signature pipelines run once, not twice (Catalyst does not dedupe
-    # common subtrees; guide §1-2: don't compute things twice)
+    # NOTE (r06): checkpointing truth/cand here was tried and REVERTED —
+    # the threshold-0 candidate pair list is enormous, and materializing
+    # it cost more than the duplicate subtree evaluation it saved (the
+    # duplicates run concurrently on otherwise-idle cores; measured
+    # +0.8 s same-window). The shared signature frame IS checkpointed
+    # inside minhash_sig_pairs, so the pandas-UDF work still runs once.
     truth = ngram_jaccard_pairs(
         d, "doc_id", "text", n=3, threshold=0.5
-    ).select("id_a", "id_b").localCheckpoint(eager=False)
+    ).select("id_a", "id_b")
     cand = minhash_lsh_pairs(
         d, "doc_id", "text", num_perm=64, bands=16, threshold=0.0
-    ).select("id_a", "id_b").localCheckpoint(eager=False)
+    ).select("id_a", "id_b")
     hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
     return (
         truth.agg(F.count(F.lit(1)).alias("n_true"))

@@ -22,9 +22,15 @@ def test_global_cumsum_matches_sequential(spark):
 def test_global_cumsum_no_single_partition_window(spark):
     df = spark.createDataFrame([(i, 1) for i in range(10)], ["k", "v"])
     plan = global_cumsum(df, ["k"], "v")._jdf.queryExecution().executedPlan().toString()
-    # the data-bearing window runs partitioned by _pid; the only
-    # unpartitioned window is over the #partitions-row offsets relation
-    assert "SinglePartition" not in plan.split("rangepartitioning")[0]
+    # the data-bearing window runs partitioned by _pid (behind the r06
+    # lazy checkpoint it surfaces as Scan ExistingRDD); the only
+    # permitted unpartitioned exchange is the one feeding the
+    # #partitions-row offsets fold — assert every SinglePartition
+    # exchange sits directly over the _pid-keyed offsets aggregate
+    segs = plan.split("Exchange SinglePartition")
+    assert len(segs) >= 2, "offsets fold missing from plan"
+    for seg in segs[1:]:
+        assert "HashAggregate(keys=[_pid" in seg[:600], seg[:600]
 
 
 def test_pack_sequences_layout(spark):
